@@ -1,0 +1,149 @@
+"""Typed configuration for the whole engine.
+
+The reference scatters configuration over hardcoded keyword lists
+(send_slam/lib/send_slam/application.ex:46-117), env vars, and a
+generated ORB-SLAM3 YAML (orbslam3_mono_networked.cc:158-223). Here one
+frozen dataclass tree covers producer, protocol, calibration and
+algorithm parameters, with the reference's field names and defaults
+where they exist (ORBextractor.nFeatures=1250, scaleFactor=1.2,
+nLevels=8, iniThFAST=20, minThFAST=7 — …cc:193-206).
+
+Everything that shapes a compiled XLA program (image size, keypoint
+capacity, pyramid levels, map capacities) lives here as static Python
+ints so a config instance keys the jit cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB front-end parameters (reference …cc:193-206)."""
+
+    n_features: int = 1250          # ORBextractor.nFeatures
+    scale_factor: float = 1.2       # ORBextractor.scaleFactor
+    n_levels: int = 8               # ORBextractor.nLevels
+    ini_th_fast: int = 20           # ORBextractor.iniThFAST
+    min_th_fast: int = 7            # ORBextractor.minThFAST
+    # TPU-specific static capacities.
+    # Max FAST candidates kept per pyramid level before grid NMS.
+    max_candidates_per_level: int = 4096
+    # Grid cells (per side) used for spatially-uniform keypoint selection.
+    grid_cells: int = 8
+    patch_size: int = 31            # orientation / descriptor patch
+    half_patch: int = 15
+    edge_threshold: int = 19        # border margin like ORB-SLAM3
+
+    @property
+    def per_level_features(self) -> Tuple[int, ...]:
+        """Static per-level keypoint budget, geometric in 1/scale like
+        ORB-SLAM3's ORBextractor ctor, summing exactly to n_features."""
+        inv = 1.0 / self.scale_factor
+        n_desired = []
+        factor = 1.0
+        denom = (1.0 - inv ** self.n_levels) / (1.0 - inv)
+        for _ in range(self.n_levels):
+            n_desired.append(self.n_features * factor / denom)
+            factor *= inv
+        counts = [max(1, int(round(x))) for x in n_desired]
+        # Fix rounding drift so the total is exactly n_features.
+        counts[0] += self.n_features - sum(counts)
+        return tuple(counts)
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + radtan intrinsics (reference settings YAML Camera1.*)."""
+
+    width: int = 640
+    height: int = 480
+    fx: float = 517.3
+    fy: float = 516.5
+    cx: float = 318.6
+    cy: float = 255.3
+    k1: float = 0.0
+    k2: float = 0.0
+    p1: float = 0.0
+    p2: float = 0.0
+    k3: float = 0.0
+    fps: float = 30.0
+    camera_id: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed capacities for the on-device map (static shapes)."""
+
+    max_keyframes: int = 256        # keyframe ring capacity
+    max_landmarks: int = 16384      # landmark table capacity
+    # Max landmarks considered in one tracking step (local map window).
+    track_window: int = 2048
+    # Local BA window: number of keyframes optimized jointly.
+    ba_window: int = 8
+    ba_fixed: int = 2               # additional fixed anchor keyframes
+    # Max observations per landmark kept in the observation table.
+    max_obs_per_landmark: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingConfig:
+    # RANSAC / matcher
+    hamming_th_high: int = 100      # ORB-SLAM3 TH_HIGH
+    hamming_th_low: int = 50        # ORB-SLAM3 TH_LOW
+    ratio_test: float = 0.9
+    search_radius_px: float = 15.0
+    # Pose-only Gauss-Newton
+    pose_gn_iters: int = 10
+    huber_delta: float = 2.447      # sqrt(5.991) px, chi2 95% 2-dof
+    min_track_matches: int = 15
+    # Keyframe policy
+    kf_min_interval: int = 3        # frames
+    kf_tracked_ratio: float = 0.75  # new KF if tracked < ratio * ref
+    # Two-view initializer
+    init_ransac_iters: int = 256
+    init_min_matches: int = 60
+    init_min_parallax_deg: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """External contract ports. The reference confusingly bakes
+    ORB_SLAM3_WS_PORT=4000 into the container (dockerfile:4) while the
+    TCP frame listener is :5000 (application.ex:80); here each endpoint
+    is one explicit value."""
+
+    http_port: int = 4000           # panel + /client WS (web_server.ex)
+    tcp_port: int = 5000            # MessagePack frame/pose compat port
+    host: str = "127.0.0.1"
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    orb: OrbConfig = OrbConfig()
+    camera: CameraConfig = CameraConfig()
+    map: MapConfig = MapConfig()
+    tracking: TrackingConfig = TrackingConfig()
+    server: ServerConfig = ServerConfig()
+    dtype: str = "float32"          # geometry dtype
+    image_dtype: str = "float32"    # pyramid dtype on device
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = EngineConfig()
+
+
+def tum_fr1_config() -> EngineConfig:
+    """TUM fr1 intrinsics (freiburg1: 517.3 516.5 318.6 255.3,
+    distortion 0.2624 -0.9531 -0.0054 0.0026 1.1633)."""
+    cam = CameraConfig(
+        width=640, height=480,
+        fx=517.306408, fy=516.469215, cx=318.643040, cy=255.313989,
+        k1=0.262383, k2=-0.953104, p1=-0.005358, p2=0.002628, k3=1.163314,
+        fps=30.0,
+    )
+    return EngineConfig(camera=cam)

@@ -1,0 +1,98 @@
+"""Two-view geometry: 8-point fundamental, homography DLT, error models.
+
+These are the batched building blocks of the monocular initializer
+(replacing ORB-SLAM3 TwoViewReconstruction, CMakeLists.txt:73). Each
+estimator consumes a fixed-size minimal sample so RANSAC is a vmap over
+hypotheses — the TPU-native replacement for the reference's sequential
+C++ RANSAC loops.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _normalize_points(x):
+    """Hartley normalization: zero mean, sqrt(2) RMS. x: (N,2).
+    Returns (xn, T) with xn = (T @ [x;1])[:2]."""
+    mean = jnp.mean(x, axis=0)
+    d = jnp.sqrt(jnp.sum((x - mean) ** 2, -1))
+    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d), 1e-8)
+    T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], x.dtype)
+    T = T.at[0, 0].set(scale).at[1, 1].set(scale)
+    T = T.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
+    xn = (x - mean) * scale
+    return xn, T
+
+
+def _smallest_singular_vector(A):
+    """Right-singular vector of A for its smallest singular value via
+    eigh of A^T A (faster + more TPU-friendly than full SVD)."""
+    AtA = A.T @ A
+    w, v = jnp.linalg.eigh(AtA)
+    return v[:, 0]
+
+
+def eight_point_fundamental(x1, x2):
+    """Normalized 8-point algorithm. x1, x2: (N>=8, 2) pixel coords.
+    Returns F (3,3) with rank-2 enforcement, denormalized, f33-normalized.
+    """
+    x1n, T1 = _normalize_points(x1)
+    x2n, T2 = _normalize_points(x2)
+    u1, v1 = x1n[:, 0], x1n[:, 1]
+    u2, v2 = x2n[:, 0], x2n[:, 1]
+    ones = jnp.ones_like(u1)
+    # x2^T F x1 = 0 rows
+    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], -1)
+    f = _smallest_singular_vector(A)
+    F = f.reshape(3, 3)
+    # Rank-2: subtract smallest singular direction.
+    U, S, Vt = jnp.linalg.svd(F)
+    S = S.at[2].set(0.0)
+    F = (U * S[None, :]) @ Vt
+    F = T2.T @ F @ T1
+    return F / jnp.where(jnp.abs(F[2, 2]) < 1e-10, 1.0, F[2, 2])
+
+
+def homography_dlt(x1, x2):
+    """DLT homography from N>=4 correspondences; x2 ~ H x1.
+    Returns H (3,3), h33-normalized."""
+    x1n, T1 = _normalize_points(x1)
+    x2n, T2 = _normalize_points(x2)
+    u1, v1 = x1n[:, 0], x1n[:, 1]
+    u2, v2 = x2n[:, 0], x2n[:, 1]
+    zeros = jnp.zeros_like(u1)
+    ones = jnp.ones_like(u1)
+    r1 = jnp.stack([zeros, zeros, zeros, -u1, -v1, -ones, v2 * u1, v2 * v1, v2], -1)
+    r2 = jnp.stack([u1, v1, ones, zeros, zeros, zeros, -u2 * u1, -u2 * v1, -u2], -1)
+    A = jnp.concatenate([r1, r2], 0)
+    h = _smallest_singular_vector(A)
+    H = h.reshape(3, 3)
+    H = jnp.linalg.solve(T2, H @ T1)
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-10, 1.0, H[2, 2])
+
+
+def sampson_error(F, x1, x2):
+    """First-order geometric (Sampson) distance^2 per correspondence.
+    x1, x2: (N,2). Returns (N,)."""
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], -1)   # (N,3)
+    p2 = jnp.concatenate([x2, ones], -1)
+    Fx1 = p1 @ F.T                          # (N,3) = (F @ p1)^T
+    Ftx2 = p2 @ F                           # (N,3) = (F^T @ p2)^T
+    num = jnp.sum(p2 * Fx1, -1) ** 2
+    den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def homography_error(H, x1, x2):
+    """Symmetric transfer error^2: |x2 - Hx1|^2 + |x1 - H^-1 x2|^2."""
+    def _transfer(H, a, b):
+        ones = jnp.ones_like(a[:, :1])
+        pa = jnp.concatenate([a, ones], -1)
+        q = pa @ H.T
+        q = q[:, :2] / jnp.where(jnp.abs(q[:, 2:3]) < 1e-10, 1e-10, q[:, 2:3])
+        return jnp.sum((b - q) ** 2, -1)
+
+    Hinv = jnp.linalg.inv(H)
+    return _transfer(H, x1, x2) + _transfer(Hinv, x2, x1)
