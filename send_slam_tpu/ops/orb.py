@@ -1,0 +1,276 @@
+"""ORB feature extraction: spatially-uniform keypoints, IC-angle
+orientation, rotated-BRIEF 256-bit descriptors.
+
+TPU-native re-design of ORB-SLAM3's ORBextractor
+(slam_backends/orb_slam_3/CMakeLists.txt:52; parameters injected by the
+reference adapter at orbslam3_mono_networked.cc:193-206: nFeatures 1250,
+scaleFactor 1.2, nLevels 8, iniThFAST 20, minThFAST 7):
+
+- Dense FAST score maps per pyramid level (ops/fast.py) instead of
+  per-cell cv::FAST: the quadtree keypoint distribution becomes a
+  grid-cell masked top-k — fixed capacity, no data-dependent shapes.
+- The per-cell iniThFAST→minThFAST fallback becomes a vectorized
+  per-cell select between two dense score maps.
+- The descriptor pattern is our own seeded Gaussian-pair pattern (the
+  BRIEF construction from the ORB paper), NOT OpenCV's learned table —
+  descriptors are self-consistent within this engine, which is all
+  matching/retrieval needs.
+
+Outputs are fixed-capacity arrays with validity masks (the static-shape
+contract everything downstream relies on).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from send_slam_tpu.config import OrbConfig
+from send_slam_tpu.ops.fast import fast_score_map, nms3x3
+from send_slam_tpu.ops.pyramid import build_pyramid, gaussian_blur
+
+PATCH_R = 15           # orientation patch radius (31x31)
+DESC_R = 16            # descriptor gather radius (33x33)
+DESC_PATCH = 2 * DESC_R + 1
+
+
+class FrameFeatures(NamedTuple):
+    """Fixed-capacity ORB features for one frame (a pytree of arrays).
+
+    The TPU-native analogue of ORB-SLAM3's Frame keypoint storage
+    (CMakeLists.txt:62): struct-of-arrays, padded to ``capacity`` with
+    ``valid`` masking the live entries.
+    """
+
+    uv: jnp.ndarray        # (N, 2) float32 — level-0 pixel coords (x, y)
+    response: jnp.ndarray  # (N,) float32 — FAST score
+    octave: jnp.ndarray    # (N,) int32 — pyramid level
+    angle: jnp.ndarray     # (N,) float32 — orientation, radians
+    desc: jnp.ndarray      # (N, 8) uint32 — packed 256-bit descriptors
+    valid: jnp.ndarray     # (N,) bool
+
+    @property
+    def capacity(self) -> int:
+        return self.uv.shape[0]
+
+    def num_valid(self) -> jnp.ndarray:
+        return jnp.sum(self.valid.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# BRIEF pattern
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(n_bits: int = 256, seed: int = 20260816) -> np.ndarray:
+    """(n_bits, 4) int8: (x1, y1, x2, y2) sampling-pair offsets.
+
+    BRIEF-style Gaussian pairs (ORB paper Sec. 4.1: p, q ~ N(0, S^2/25)
+    with S=31), clipped to radius 13 so any rotation stays inside the
+    33x33 gather patch. Seeded: the pattern is a constant of the
+    engine — descriptors are stable across runs/checkpoints.
+    """
+    rng = np.random.default_rng(seed)
+    sigma = 31.0 / 5.0
+    pts = rng.normal(0.0, sigma, size=(n_bits, 4))
+    r = 13.0
+    pts = np.clip(pts, -r, r)
+    # Avoid degenerate pairs (identical points compare to 0 always).
+    for i in range(n_bits):
+        while np.all(np.round(pts[i, :2]) == np.round(pts[i, 2:])):
+            pts[i] = np.clip(rng.normal(0.0, sigma, size=4), -r, r)
+    return np.round(pts).astype(np.int8)
+
+
+# ---------------------------------------------------------------------------
+# Keypoint selection
+
+
+def _grid_topk(
+    score: jnp.ndarray,
+    score_fallback: jnp.ndarray,
+    n_keep: int,
+    grid_cells: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Spatially-uniform masked top-k over a score map.
+
+    The grid replaces ORB-SLAM3's quadtree (DistributeOctTree): each of
+    ``grid_cells^2`` cells contributes at most ``cap`` keypoints (cap =
+    2x the even share), then a global masked top-k keeps ``n_keep``.
+    Cells empty at the primary threshold fall back to the low-threshold
+    score map (the iniThFAST -> minThFAST retry, vectorized).
+
+    Returns (uv int32 (n_keep, 2) as (x, y), score (n_keep,), valid).
+    """
+    H, W = score.shape
+    G = grid_cells
+    Hp = -(-H // G) * G
+    Wp = -(-W // G) * G
+    pad = ((0, Hp - H), (0, Wp - W))
+    s_hi = jnp.pad(score, pad)
+    s_lo = jnp.pad(score_fallback, pad)
+    ch, cw = Hp // G, Wp // G
+
+    def to_cells(s):
+        return s.reshape(G, ch, G, cw).transpose(0, 2, 1, 3).reshape(G * G, ch * cw)
+
+    cells_hi = to_cells(s_hi)
+    cells_lo = to_cells(s_lo)
+    has_hi = jnp.max(cells_hi, axis=1, keepdims=True) > 0
+    cells = jnp.where(has_hi, cells_hi, cells_lo)
+
+    cap = max(1, min(2 * (-(-n_keep // (G * G))), ch * cw))
+    vals, idx = jax.lax.top_k(cells, cap)          # (G*G, cap)
+
+    # Cell-local flat idx -> global (x, y).
+    cy = idx // cw
+    cx = idx % cw
+    cell_ids = jnp.arange(G * G, dtype=jnp.int32)[:, None]
+    gy = (cell_ids // G) * ch + cy
+    gx = (cell_ids % G) * cw + cx
+
+    flat_vals = vals.reshape(-1)
+    flat_x = gx.reshape(-1)
+    flat_y = gy.reshape(-1)
+
+    top_vals, top_i = jax.lax.top_k(flat_vals, n_keep)
+    uv = jnp.stack([flat_x[top_i], flat_y[top_i]], -1)
+    valid = top_vals > 0
+    return uv, top_vals, valid
+
+
+# ---------------------------------------------------------------------------
+# Patch gathering, orientation, descriptors
+
+
+def _gather_patches(img: jnp.ndarray, uv: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Gather (2r+1)^2 patches at integer centers. uv: (K, 2) int32
+    (x, y), assumed >= radius from the border (selection enforces the
+    ORB edge_threshold margin; invalid slots are clamped)."""
+    H, W = img.shape
+    r = radius
+    x = jnp.clip(uv[:, 0], r, W - 1 - r)
+    y = jnp.clip(uv[:, 1], r, H - 1 - r)
+    dy = jnp.arange(-r, r + 1)
+    dx = jnp.arange(-r, r + 1)
+    yy = y[:, None, None] + dy[None, :, None]      # (K, P, 1)
+    xx = x[:, None, None] + dx[None, None, :]      # (K, 1, P)
+    return img[yy, xx]                             # (K, P, P)
+
+
+@functools.lru_cache(maxsize=None)
+def _ic_angle_weights(radius: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Circular-patch moment weights: mask, x-weights, y-weights."""
+    d = np.arange(-radius, radius + 1)
+    xx, yy = np.meshgrid(d, d)
+    # Discrete circle: row v spans |u| <= round(sqrt(r^2 - v^2)) — the
+    # same shape as OpenCV's u_max table up to boundary rounding.
+    umax = np.round(np.sqrt(np.maximum(radius * radius - d * d, 0)))
+    mask = np.abs(xx) <= umax[:, None]
+    return mask, (xx * mask), (yy * mask)
+
+
+def ic_angle(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation per keypoint (radians)."""
+    patches = _gather_patches(img, uv, PATCH_R)    # (K, 31, 31)
+    _, wx, wy = _ic_angle_weights(PATCH_R)
+    m10 = jnp.sum(patches * jnp.asarray(wx, img.dtype), axis=(1, 2))
+    m01 = jnp.sum(patches * jnp.asarray(wy, img.dtype), axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(
+    blurred: jnp.ndarray, uv: jnp.ndarray, angle: jnp.ndarray,
+) -> jnp.ndarray:
+    """Rotated-BRIEF: (K, 8) uint32 packed descriptors.
+
+    Pattern offsets are rotated by each keypoint's angle and sampled
+    nearest-neighbour from the blurred level image via one big gather.
+    """
+    pat = jnp.asarray(brief_pattern(), jnp.float32)  # (256, 4)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)          # (K,)
+
+    def rotate(px, py):
+        # (256,) x (K,) -> (K, 256)
+        rx = px[None, :] * ca[:, None] - py[None, :] * sa[:, None]
+        ry = px[None, :] * sa[:, None] + py[None, :] * ca[:, None]
+        return jnp.round(rx).astype(jnp.int32), jnp.round(ry).astype(jnp.int32)
+
+    x1, y1 = rotate(pat[:, 0], pat[:, 1])
+    x2, y2 = rotate(pat[:, 2], pat[:, 3])
+
+    patches = _gather_patches(blurred, uv, DESC_R)   # (K, 33, 33)
+    flat = patches.reshape(patches.shape[0], -1)     # (K, 33*33)
+
+    def sample(xr, yr):
+        idx = (yr + DESC_R) * DESC_PATCH + (xr + DESC_R)
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    bits = sample(x1, y1) < sample(x2, y2)           # (K, 256) bool
+    return pack_bits(bits)
+
+
+def pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(K, 256) bool -> (K, 8) uint32, little-endian bit order per word."""
+    K = bits.shape[0]
+    b = bits.reshape(K, 8, 32).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(b * weights, axis=2, dtype=jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Full extraction
+
+
+def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
+    """(H, W) float32 grayscale -> FrameFeatures with capacity
+    cfg.n_features. Jit-compatible; all shapes static given (H, W, cfg).
+    """
+    levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    budgets = cfg.per_level_features
+    border = cfg.edge_threshold
+
+    parts: List[FrameFeatures] = []
+    for lvl, (level_img, n_lvl) in enumerate(zip(levels, budgets)):
+        H, W = level_img.shape
+        s_hi = nms3x3(fast_score_map(level_img, float(cfg.ini_th_fast)))
+        s_lo = nms3x3(fast_score_map(level_img, float(cfg.min_th_fast)))
+
+        # Border mask: the ORB edge_threshold margin guarantees the
+        # orientation/descriptor patches stay in bounds.
+        ys = jnp.arange(H)[:, None]
+        xs = jnp.arange(W)[None, :]
+        inb = ((ys >= border) & (ys < H - border)
+               & (xs >= border) & (xs < W - border))
+        s_hi = jnp.where(inb, s_hi, 0.0)
+        s_lo = jnp.where(inb, s_lo, 0.0)
+
+        uv_l, resp, valid = _grid_topk(s_hi, s_lo, n_lvl, cfg.grid_cells)
+
+        angle = ic_angle(level_img, uv_l)
+        blurred = gaussian_blur(level_img, sigma=2.0, ksize=7)
+        desc = brief_descriptors(blurred, uv_l, angle)
+
+        scale = cfg.scale_factor ** lvl
+        uv0 = uv_l.astype(jnp.float32) * scale
+        parts.append(FrameFeatures(
+            uv=uv0,
+            response=resp,
+            octave=jnp.full((n_lvl,), lvl, jnp.int32),
+            angle=angle,
+            desc=desc,
+            valid=valid,
+        ))
+
+    return FrameFeatures(
+        uv=jnp.concatenate([p.uv for p in parts]),
+        response=jnp.concatenate([p.response for p in parts]),
+        octave=jnp.concatenate([p.octave for p in parts]),
+        angle=jnp.concatenate([p.angle for p in parts]),
+        desc=jnp.concatenate([p.desc for p in parts]),
+        valid=jnp.concatenate([p.valid for p in parts]),
+    )
