@@ -12,12 +12,20 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def _normalize_points(x):
+def _normalize_points(x, w=None):
     """Hartley normalization: zero mean, sqrt(2) RMS. x: (N,2).
+    Optional weights w: (N,) — masked entries get weight 0.
     Returns (xn, T) with xn = (T @ [x;1])[:2]."""
-    mean = jnp.mean(x, axis=0)
-    d = jnp.sqrt(jnp.sum((x - mean) ** 2, -1))
-    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d), 1e-8)
+    if w is None:
+        mean = jnp.mean(x, axis=0)
+        d = jnp.sqrt(jnp.sum((x - mean) ** 2, -1))
+        mean_d = jnp.mean(d)
+    else:
+        wsum = jnp.maximum(jnp.sum(w), 1e-8)
+        mean = jnp.sum(x * w[:, None], axis=0) / wsum
+        d = jnp.sqrt(jnp.sum((x - mean) ** 2, -1))
+        mean_d = jnp.sum(d * w) / wsum
+    scale = jnp.sqrt(2.0) / jnp.maximum(mean_d, 1e-8)
     T = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], x.dtype)
     T = T.at[0, 0].set(scale).at[1, 1].set(scale)
     T = T.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
@@ -33,17 +41,21 @@ def _smallest_singular_vector(A):
     return v[:, 0]
 
 
-def eight_point_fundamental(x1, x2):
+def eight_point_fundamental(x1, x2, weights=None):
     """Normalized 8-point algorithm. x1, x2: (N>=8, 2) pixel coords.
+    Optional weights (N,) zero out masked correspondences (weighted
+    refit on RANSAC inliers uses this).
     Returns F (3,3) with rank-2 enforcement, denormalized, f33-normalized.
     """
-    x1n, T1 = _normalize_points(x1)
-    x2n, T2 = _normalize_points(x2)
+    x1n, T1 = _normalize_points(x1, weights)
+    x2n, T2 = _normalize_points(x2, weights)
     u1, v1 = x1n[:, 0], x1n[:, 1]
     u2, v2 = x2n[:, 0], x2n[:, 1]
     ones = jnp.ones_like(u1)
     # x2^T F x1 = 0 rows
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], -1)
+    if weights is not None:
+        A = A * weights[:, None]
     f = _smallest_singular_vector(A)
     F = f.reshape(3, 3)
     # Rank-2: subtract smallest singular direction.
@@ -54,11 +66,12 @@ def eight_point_fundamental(x1, x2):
     return F / jnp.where(jnp.abs(F[2, 2]) < 1e-10, 1.0, F[2, 2])
 
 
-def homography_dlt(x1, x2):
+def homography_dlt(x1, x2, weights=None):
     """DLT homography from N>=4 correspondences; x2 ~ H x1.
+    Optional weights (N,) zero out masked correspondences.
     Returns H (3,3), h33-normalized."""
-    x1n, T1 = _normalize_points(x1)
-    x2n, T2 = _normalize_points(x2)
+    x1n, T1 = _normalize_points(x1, weights)
+    x2n, T2 = _normalize_points(x2, weights)
     u1, v1 = x1n[:, 0], x1n[:, 1]
     u2, v2 = x2n[:, 0], x2n[:, 1]
     zeros = jnp.zeros_like(u1)
@@ -66,6 +79,8 @@ def homography_dlt(x1, x2):
     r1 = jnp.stack([zeros, zeros, zeros, -u1, -v1, -ones, v2 * u1, v2 * v1, v2], -1)
     r2 = jnp.stack([u1, v1, ones, zeros, zeros, zeros, -u2 * u1, -u2 * v1, -u2], -1)
     A = jnp.concatenate([r1, r2], 0)
+    if weights is not None:
+        A = A * jnp.concatenate([weights, weights])[:, None]
     h = _smallest_singular_vector(A)
     H = h.reshape(3, 3)
     H = jnp.linalg.solve(T2, H @ T1)

@@ -1,0 +1,171 @@
+"""Monocular two-view initialization: batched-hypothesis RANSAC.
+
+TPU-native re-design of ORB-SLAM3's TwoViewReconstruction
+(slam_backends/orb_slam_3/CMakeLists.txt:73). The C++ code runs
+sequential RANSAC loops over 200 iterations; here every hypothesis is
+a lane of a vmap — 8-point fundamental estimation, Sampson scoring,
+essential-matrix decomposition and cheirality counting all run as
+batched dense linear algebra, and the data-dependent "how many inliers"
+questions become masked reductions.
+
+Round-1 scope: fundamental-matrix path (general scenes). The planar
+homography path (ORB-SLAM3's parallel H RANSAC + RH model selection)
+uses the same machinery via geometry/epipolar.homography_dlt and is
+wired in models/system.py when needed.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from send_slam_tpu.config import TrackingConfig
+from send_slam_tpu.geometry.epipolar import eight_point_fundamental, sampson_error
+from send_slam_tpu.geometry.triangulate import triangulate_batch
+from send_slam_tpu.ops.hamming import Matches, match_descriptors
+
+
+class InitResult(NamedTuple):
+    ok: jnp.ndarray            # () bool — initialization accepted
+    R: jnp.ndarray             # (3,3) — camera2-from-camera1 rotation
+    t: jnp.ndarray             # (3,) — unit-scale translation
+    points: jnp.ndarray        # (N,3) — triangulated points (world=cam1)
+    point_ok: jnp.ndarray      # (N,) bool — survived cheirality/reproj
+    matches: Matches           # A->B descriptor matches used
+    n_good: jnp.ndarray        # () int32
+
+
+def _sample_minimal_sets(key, valid, n_hyp: int, k: int):
+    """(n_hyp, k) indices drawn from valid entries (with replacement —
+    collisions just score badly and lose the vote)."""
+    logits = jnp.where(valid, 0.0, -1e9)
+    return jax.random.categorical(key, logits[None, :], axis=-1,
+                                  shape=(n_hyp, k))
+
+
+def _decompose_essential(E):
+    """E -> (4, 3, 3) R and (4, 3) t candidate pairs."""
+    U, _, Vt = jnp.linalg.svd(E)
+    # Enforce proper rotations.
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = U @ W @ Vt
+    R2 = U @ W.T @ Vt
+    R1 = R1 * jnp.sign(jnp.linalg.det(R1))
+    R2 = R2 * jnp.sign(jnp.linalg.det(R2))
+    t = U[:, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
+    del d
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def _score_motion(R, t, K, x1, x2, valid, reproj_th2, min_parallax_cos):
+    """Triangulate all matches under (R, t) and count good points.
+
+    Good = finite, positive depth in both views, reprojection error
+    under threshold in both views, parallax above threshold."""
+    P1 = K @ jnp.concatenate([jnp.eye(3, dtype=K.dtype), jnp.zeros((3, 1), K.dtype)], 1)
+    P2 = K @ jnp.concatenate([R, t[:, None]], 1)
+    X = triangulate_batch(P1, P2, x1, x2)            # (N,3) in cam1
+    z1 = X[:, 2]
+    Xc2 = X @ R.T + t
+    z2 = Xc2[:, 2]
+
+    def reproj(P, X, x):
+        h = jnp.concatenate([X, jnp.ones_like(X[:, :1])], 1) @ P.T
+        uv = h[:, :2] / jnp.where(jnp.abs(h[:, 2:3]) < 1e-9, 1e-9, h[:, 2:3])
+        return jnp.sum((uv - x) ** 2, -1)
+
+    e1 = reproj(P1, X, x1)
+    e2 = reproj(P2, X, x2)
+
+    # Parallax: angle between rays from the two camera centers.
+    C2 = -(R.T @ t)                                   # cam2 center in cam1
+    r1 = X
+    r2 = X - C2[None]
+    cos_par = jnp.sum(r1 * r2, -1) / jnp.maximum(
+        jnp.linalg.norm(r1, axis=-1) * jnp.linalg.norm(r2, axis=-1), 1e-9)
+
+    finite = jnp.all(jnp.isfinite(X), -1)
+    good = (valid & finite & (z1 > 0) & (z2 > 0)
+            & (e1 < reproj_th2) & (e2 < reproj_th2)
+            & (cos_par < min_parallax_cos))
+    return X, good
+
+
+def two_view_init(
+    uv_a: jnp.ndarray, desc_a: jnp.ndarray, valid_a: jnp.ndarray,
+    angle_a: jnp.ndarray,
+    uv_b: jnp.ndarray, desc_b: jnp.ndarray, valid_b: jnp.ndarray,
+    angle_b: jnp.ndarray,
+    K: jnp.ndarray,
+    key: jnp.ndarray,
+    cfg: TrackingConfig,
+) -> InitResult:
+    """Attempt monocular initialization between frames A (reference,
+    becomes world origin) and B (current). All inputs fixed-capacity
+    with validity masks; fully jittable."""
+    m = match_descriptors(desc_a, desc_b, valid_a, valid_b,
+                          max_dist=float(cfg.hamming_th_low), ratio=0.9,
+                          mutual=True, angles_a=angle_a, angles_b=angle_b)
+    x1 = uv_a                                          # (N,2)
+    x2 = uv_b[jnp.clip(m.idx, 0, uv_b.shape[0] - 1)]
+    mvalid = m.valid
+
+    # --- RANSAC over fundamental matrices -----------------------------
+    idx = _sample_minimal_sets(key, mvalid, cfg.init_ransac_iters, 8)
+    s1 = x1[idx]                                       # (n_hyp, 8, 2)
+    s2 = x2[idx]
+    Fs = jax.vmap(eight_point_fundamental)(s1, s2)     # (n_hyp, 3, 3)
+    errs = jax.vmap(lambda F: sampson_error(F, x1, x2))(Fs)  # (n_hyp, N)
+    th2 = 3.841                                         # chi2 1-dof 95%, sigma=1px
+    inl = (errs < th2) & mvalid[None, :]
+    scores = jnp.sum(inl, axis=1)
+    best = jnp.argmax(scores)
+    f_inl = inl[best]
+    # Weighted refit on all inliers of the winning hypothesis (the
+    # "refine with all inliers" step of classic RANSAC) — two passes.
+    F = eight_point_fundamental(x1, x2, weights=f_inl.astype(x1.dtype))
+    f_inl = (sampson_error(F, x1, x2) < th2) & mvalid
+    F = eight_point_fundamental(x1, x2, weights=f_inl.astype(x1.dtype))
+    f_inl = (sampson_error(F, x1, x2) < th2) & mvalid
+
+    # --- Essential decomposition + cheirality -------------------------
+    E = K.T @ F @ K
+    Rs, ts = _decompose_essential(E)
+    reproj_th2 = 4.0 * th2
+    min_parallax_cos = 0.99998                          # ~0.36 deg per point
+    Xs, goods = jax.vmap(
+        lambda R, t: _score_motion(R, t, K, x1, x2, f_inl, reproj_th2,
+                                   min_parallax_cos))(Rs, ts)
+    counts = jnp.sum(goods, axis=1)                     # (4,)
+    bi = jnp.argmax(counts)
+    n_good = counts[bi]
+    sorted_counts = jnp.sort(counts)
+    second = sorted_counts[2]
+
+    R, t = Rs[bi], ts[bi]
+    X, point_ok = Xs[bi], goods[bi]
+
+    # Acceptance (TwoViewReconstruction-style): enough points, winner
+    # clearly unique, and a minimum match count.
+    n_matches = jnp.sum(mvalid)
+    ok = ((n_good >= cfg.init_min_matches)
+          & (n_good > 0.75 * jnp.sum(f_inl))
+          & (second < 0.7 * n_good)
+          & (n_matches >= cfg.init_min_matches))
+
+    # Normalize scale: median depth of good points -> 1 (the monocular
+    # gauge fix; ORB-SLAM scales by inverse median depth too).
+    z = jnp.where(point_ok, X[:, 2], jnp.nan)
+    med_depth = jnp.nanmedian(z)
+    scale = 1.0 / jnp.maximum(med_depth, 1e-6)
+    X = X * scale
+    t = t * scale
+
+    return InitResult(ok=ok, R=R, t=t, points=X, point_ok=point_ok,
+                      matches=m, n_good=n_good)

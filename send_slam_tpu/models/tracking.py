@@ -1,0 +1,189 @@
+"""Per-frame tracking: projection-guided matching + pose-only robust
+Gauss-Newton.
+
+TPU-native re-design of ORB-SLAM3's Tracking front end + g2o
+PoseOptimization (CMakeLists.txt:49,61). The C++ pipeline is a chain of
+data-dependent searches and a sparse graph solve; here it is one fused
+jitted step over fixed-capacity arrays:
+
+1. predict pose with the constant-velocity motion model,
+2. project map landmarks, mask a search window, Hamming-match on the
+   MXU (ops/hamming.py),
+3. 4 rounds of Huber-weighted Gauss-Newton on the 6-DoF pose with
+   chi-squared outlier reclassification between rounds (the same
+   schedule as g2o's PoseOptimization: 4 x 10 iterations, chi2 5.991).
+
+The normal equations are a single (N,2,6) batched Jacobian contraction
+into a 6x6 solve — dense, tiny, and entirely on-device.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from send_slam_tpu.config import TrackingConfig
+from send_slam_tpu.geometry.se3 import se3_compose, se3_exp
+from send_slam_tpu.ops.hamming import (
+    Matches, match_descriptors, projection_window_mask,
+)
+
+CHI2_2DOF = 5.991  # 95% for 2-dof reprojection residuals
+
+
+class PoseOptResult(NamedTuple):
+    R: jnp.ndarray          # (3,3) camera-from-world
+    t: jnp.ndarray          # (3,)
+    inlier: jnp.ndarray     # (N,) bool
+    chi2: jnp.ndarray       # () total robust energy
+    n_inliers: jnp.ndarray  # () int32
+
+
+def _project_and_jacobian(R, t, X, fx, fy, cx, cy):
+    """Project world points and return residual Jacobian wrt a LEFT
+    increment T <- exp(delta) T, delta = (rho, phi).
+
+    Returns (uv (N,2), p_cam (N,3), J (N,2,6))."""
+    p = X @ R.T + t[None]
+    z = jnp.maximum(p[:, 2], 1e-6)
+    inv_z = 1.0 / z
+    u = fx * p[:, 0] * inv_z + cx
+    v = fy * p[:, 1] * inv_z + cy
+    uv = jnp.stack([u, v], -1)
+
+    # d(proj)/dp
+    zeros = jnp.zeros_like(z)
+    J_proj = jnp.stack([
+        jnp.stack([fx * inv_z, zeros, -fx * p[:, 0] * inv_z * inv_z], -1),
+        jnp.stack([zeros, fy * inv_z, -fy * p[:, 1] * inv_z * inv_z], -1),
+    ], -2)                                           # (N,2,3)
+
+    # dp/ddelta = [ I | -hat(p) ]
+    px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+    zero = jnp.zeros_like(px)
+    neg_hat = jnp.stack([
+        jnp.stack([zero, pz, -py], -1),
+        jnp.stack([-pz, zero, px], -1),
+        jnp.stack([py, -px, zero], -1),
+    ], -2)                                           # (N,3,3) = -hat(p)
+    J_pose = jnp.concatenate([
+        jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), neg_hat.shape), neg_hat,
+    ], -1)                                           # (N,3,6)
+    J = J_proj @ J_pose                              # (N,2,6)
+    return uv, p, J
+
+
+def pose_only_gn(
+    R0: jnp.ndarray, t0: jnp.ndarray,
+    X: jnp.ndarray, uv_obs: jnp.ndarray, w_valid: jnp.ndarray,
+    fx: float, fy: float, cx: float, cy: float,
+    sigma2: jnp.ndarray = None,
+    rounds: int = 4, iters: int = 10,
+    huber_delta: float = 2.447,
+) -> PoseOptResult:
+    """Robust pose-only Gauss-Newton.
+
+    X: (N,3) world points; uv_obs: (N,2) undistorted observations;
+    w_valid: (N,) bool — which rows participate at all.
+    sigma2: (N,) per-observation variance (octave-scaled like ORB-SLAM's
+    invSigma2); defaults to 1.
+    """
+    if sigma2 is None:
+        sigma2 = jnp.ones(X.shape[0], X.dtype)
+    inv_sigma2 = 1.0 / sigma2
+
+    def gn_iter(carry, _):
+        R, t, inlier = carry
+
+        def one_step(Rt):
+            R, t = Rt
+            uv, p, J = _project_and_jacobian(R, t, X, fx, fy, cx, cy)
+            r = uv - uv_obs                          # (N,2)
+            chi2 = jnp.sum(r * r, -1) * inv_sigma2
+            # Huber: w = 1 for |r| <= delta, delta/|r| beyond.
+            nrm = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+            w_huber = jnp.minimum(1.0, huber_delta / nrm)
+            w = (w_valid & inlier & (p[:, 2] > 1e-3)).astype(X.dtype) \
+                * w_huber * inv_sigma2
+            H = jnp.einsum('nia,n,nib->ab', J, w, J)
+            b = jnp.einsum('nia,n,ni->a', J, w, r)
+            H = H + 1e-6 * jnp.eye(6, dtype=X.dtype)
+            delta = -jnp.linalg.solve(H, b[:, None])[:, 0]
+            dR, dt = se3_exp(delta)
+            return se3_compose(dR, dt, R, t)
+
+        Rt = (R, t)
+        for _ in range(iters):
+            Rt = one_step(Rt)
+        R, t = Rt
+        # Reclassify outliers at chi2 threshold for the next round.
+        uv, p, _ = _project_and_jacobian(R, t, X, fx, fy, cx, cy)
+        chi2 = jnp.sum((uv - uv_obs) ** 2, -1) * inv_sigma2
+        inlier = w_valid & (chi2 < CHI2_2DOF) & (p[:, 2] > 1e-3)
+        return (R, t, inlier), None
+
+    init = (R0, t0, w_valid)
+    (R, t, inlier), _ = jax.lax.scan(gn_iter, init, None, length=rounds)
+
+    uv, p, _ = _project_and_jacobian(R, t, X, fx, fy, cx, cy)
+    chi2_all = jnp.sum((uv - uv_obs) ** 2, -1) * inv_sigma2
+    chi2 = jnp.sum(jnp.where(inlier, jnp.minimum(chi2_all, CHI2_2DOF), 0.0))
+    return PoseOptResult(R=R, t=t, inlier=inlier, chi2=chi2,
+                         n_inliers=jnp.sum(inlier.astype(jnp.int32)))
+
+
+class TrackResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    matches: Matches        # landmark-row -> keypoint-column matches
+    inlier: jnp.ndarray     # (L,) bool over landmark rows
+    n_inliers: jnp.ndarray  # () int32
+
+
+def track_frame(
+    # Predicted pose (camera-from-world).
+    R_pred: jnp.ndarray, t_pred: jnp.ndarray,
+    # Landmark window: positions, descriptors, validity.
+    lm_pos: jnp.ndarray, lm_desc: jnp.ndarray, lm_valid: jnp.ndarray,
+    # Current frame keypoints (undistorted), descriptors, validity.
+    kp_uv: jnp.ndarray, kp_desc: jnp.ndarray, kp_valid: jnp.ndarray,
+    kp_octave: jnp.ndarray,
+    fx: float, fy: float, cx: float, cy: float,
+    width: int, height: int,
+    cfg: TrackingConfig,
+    scale_factor: float = 1.2,
+    search_radius: float = None,
+) -> TrackResult:
+    """One tracking step: search-by-projection + robust pose GN."""
+    radius = cfg.search_radius_px if search_radius is None else search_radius
+
+    # Project landmarks with the predicted pose.
+    p = lm_pos @ R_pred.T + t_pred[None]
+    z = p[:, 2]
+    uv_pred = jnp.stack([
+        fx * p[:, 0] / jnp.maximum(z, 1e-6) + cx,
+        fy * p[:, 1] / jnp.maximum(z, 1e-6) + cy,
+    ], -1)
+    in_view = (lm_valid & (z > 0.01)
+               & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < width)
+               & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < height))
+
+    window = projection_window_mask(uv_pred, kp_uv, radius)
+    m = match_descriptors(lm_desc, kp_desc, in_view, kp_valid,
+                          max_dist=float(cfg.hamming_th_high),
+                          ratio=cfg.ratio_test, mutual=True,
+                          extra_mask=window)
+
+    # Per-observation variance from keypoint octave (ORB invSigma2).
+    oct_m = kp_octave[jnp.clip(m.idx, 0, kp_octave.shape[0] - 1)]
+    sigma2 = (scale_factor ** oct_m.astype(jnp.float32)) ** 2
+
+    uv_obs = kp_uv[jnp.clip(m.idx, 0, kp_uv.shape[0] - 1)]
+    opt = pose_only_gn(R_pred, t_pred, lm_pos, uv_obs, m.valid,
+                       fx, fy, cx, cy, sigma2=sigma2,
+                       huber_delta=cfg.huber_delta,
+                       iters=cfg.pose_gn_iters // 2, rounds=4)
+    return TrackResult(R=opt.R, t=opt.t, matches=m, inlier=opt.inlier,
+                       n_inliers=opt.n_inliers)
