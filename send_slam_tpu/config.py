@@ -101,7 +101,8 @@ class TrackingConfig:
     min_track_matches: int = 15
     # Keyframe policy
     kf_min_interval: int = 3        # frames
-    kf_tracked_ratio: float = 0.75  # new KF if tracked < ratio * ref
+    kf_tracked_ratio: float = 0.9   # new KF if tracked < ratio * ref
+    kf_max_interval: int = 10       # force a KF after this many frames
     # Two-view initializer
     init_ransac_iters: int = 256
     init_min_matches: int = 60

@@ -94,7 +94,7 @@ def _score_motion(R, t, K, x1, x2, valid, reproj_th2, min_parallax_cos):
     good = (valid & finite & (z1 > 0) & (z2 > 0)
             & (e1 < reproj_th2) & (e2 < reproj_th2)
             & (cos_par < min_parallax_cos))
-    return X, good
+    return X, good, cos_par
 
 
 def two_view_init(
@@ -139,7 +139,7 @@ def two_view_init(
     Rs, ts = _decompose_essential(E)
     reproj_th2 = 4.0 * th2
     min_parallax_cos = 0.99998                          # ~0.36 deg per point
-    Xs, goods = jax.vmap(
+    Xs, goods, cos_pars = jax.vmap(
         lambda R, t: _score_motion(R, t, K, x1, x2, f_inl, reproj_th2,
                                    min_parallax_cos))(Rs, ts)
     counts = jnp.sum(goods, axis=1)                     # (4,)
@@ -151,13 +151,21 @@ def two_view_init(
     R, t = Rs[bi], ts[bi]
     X, point_ok = Xs[bi], goods[bi]
 
+    # Median parallax of accepted points: initializing from a
+    # too-small baseline bakes in garbage depths (ORB-SLAM's
+    # CheckRT parallax acceptance plays the same role).
+    cp = jnp.where(point_ok, cos_pars[bi], jnp.nan)
+    med_parallax = jnp.arccos(jnp.clip(jnp.nanmedian(cp), -1.0, 1.0))
+    min_par = cfg.init_min_parallax_deg * jnp.pi / 180.0
+
     # Acceptance (TwoViewReconstruction-style): enough points, winner
-    # clearly unique, and a minimum match count.
+    # clearly unique, minimum match count, adequate parallax.
     n_matches = jnp.sum(mvalid)
     ok = ((n_good >= cfg.init_min_matches)
           & (n_good > 0.75 * jnp.sum(f_inl))
           & (second < 0.7 * n_good)
-          & (n_matches >= cfg.init_min_matches))
+          & (n_matches >= cfg.init_min_matches)
+          & (med_parallax > min_par))
 
     # Normalize scale: median depth of good points -> 1 (the monocular
     # gauge fix; ORB-SLAM scales by inverse median depth too).

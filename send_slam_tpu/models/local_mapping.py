@@ -1,0 +1,111 @@
+"""Local mapping: new-landmark creation between keyframes.
+
+TPU-native equivalent of ORB-SLAM3 LocalMapping::CreateNewMapPoints
+(slam_backends/orb_slam_3/CMakeLists.txt:50): epipolar-guided matching
+of unassociated keypoints between the new keyframe and a reference
+keyframe, batched triangulation, and cheirality/reprojection gating —
+all dense masked ops. The local bundle adjustment lives in
+models/local_ba.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from send_slam_tpu.config import MapConfig, TrackingConfig
+from send_slam_tpu.geometry.se3 import hat
+from send_slam_tpu.geometry.triangulate import triangulate_batch
+from send_slam_tpu.models.map_state import MapState, add_landmarks
+from send_slam_tpu.ops.hamming import match_descriptors
+
+
+def fundamental_from_poses(Ra, ta, Rb, tb, K):
+    """F such that x_b^T F x_a = 0 for cameras (R*, t*) camera-from-world."""
+    R_ba = Rb @ Ra.T
+    t_ba = tb - (R_ba @ ta[..., None])[..., 0]
+    E = hat(t_ba) @ R_ba
+    Kinv = jnp.linalg.inv(K)
+    return Kinv.T @ E @ Kinv
+
+
+def epipolar_distance_matrix(F, uv_a, uv_b):
+    """(N,2),(M,2) -> (N,M): distance of each b-point to the epiline of
+    each a-point (rows = a, cols = b)."""
+    ones = jnp.ones_like(uv_a[:, :1])
+    pa = jnp.concatenate([uv_a, ones], -1)          # (N,3)
+    lines = pa @ F.T                                 # (N,3) epilines in B
+    pb = jnp.concatenate([uv_b, jnp.ones_like(uv_b[:, :1])], -1)
+    num = jnp.abs(lines @ pb.T)                      # (N,M)
+    den = jnp.sqrt(lines[:, 0] ** 2 + lines[:, 1] ** 2)[:, None]
+    return num / jnp.maximum(den, 1e-9)
+
+
+def create_new_landmarks(
+    m: MapState,
+    kf_new: jnp.ndarray,     # () int32 — id of the just-inserted KF
+    kf_ref: jnp.ndarray,     # () int32 — reference KF to triangulate with
+    K: jnp.ndarray,
+    cfg: TrackingConfig,
+    epi_th_px: float = 2.0,
+    reproj_th2: float = 5.991,
+    min_parallax_cos: float = 0.99995,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Triangulate unassociated keypoint pairs between kf_new and kf_ref
+    and append them as landmarks. Returns (map, n_created)."""
+    Ra, ta = m.kf_R[kf_ref], m.kf_t[kf_ref]
+    Rb, tb = m.kf_R[kf_new], m.kf_t[kf_new]
+    uva, uvb = m.kf_uv[kf_ref], m.kf_uv[kf_new]
+    desca, descb = m.kf_desc[kf_ref], m.kf_desc[kf_new]
+
+    unassoc_a = (m.kf_obs_lm[kf_ref] < 0) & m.kf_kp_valid[kf_ref]
+    unassoc_b = (m.kf_obs_lm[kf_new] < 0) & m.kf_kp_valid[kf_new]
+
+    F = fundamental_from_poses(Ra, ta, Rb, tb, K)
+    epi = epipolar_distance_matrix(F, uva, uvb)
+    epi_mask = epi < epi_th_px
+
+    match = match_descriptors(
+        desca, descb, unassoc_a, unassoc_b,
+        max_dist=float(cfg.hamming_th_low), ratio=0.7, mutual=True,
+        extra_mask=epi_mask)
+
+    N = uva.shape[0]
+    idx_b = jnp.clip(match.idx, 0, N - 1)
+    x1 = uva                                         # (N,2) obs in ref
+    x2 = uvb[idx_b]
+
+    P1 = K @ jnp.concatenate([Ra, ta[:, None]], 1)
+    P2 = K @ jnp.concatenate([Rb, tb[:, None]], 1)
+    X = triangulate_batch(P1, P2, x1, x2)            # world points
+
+    # Gates: positive depth both views, low reprojection error, parallax.
+    pa = X @ Ra.T + ta
+    pb = X @ Rb.T + tb
+
+    def reproj_err2(p, x, K):
+        uv = jnp.stack([
+            K[0, 0] * p[:, 0] / jnp.maximum(p[:, 2], 1e-6) + K[0, 2],
+            K[1, 1] * p[:, 1] / jnp.maximum(p[:, 2], 1e-6) + K[1, 2],
+        ], -1)
+        return jnp.sum((uv - x) ** 2, -1)
+
+    Ca = -(Ra.T @ ta[:, None])[:, 0]
+    Cb = -(Rb.T @ tb[:, None])[:, 0]
+    ra = X - Ca[None]
+    rb = X - Cb[None]
+    cos_par = jnp.sum(ra * rb, -1) / jnp.maximum(
+        jnp.linalg.norm(ra, axis=-1) * jnp.linalg.norm(rb, axis=-1), 1e-9)
+
+    finite = jnp.all(jnp.isfinite(X), -1)
+    good = (match.valid & finite & (pa[:, 2] > 1e-3) & (pb[:, 2] > 1e-3)
+            & (reproj_err2(pa, x1, K) < reproj_th2)
+            & (reproj_err2(pb, x2, K) < reproj_th2)
+            & (cos_par < min_parallax_cos))
+
+    m, lm_id = add_landmarks(
+        m, X, desca, good, kf_new,
+        kf_ref, jnp.arange(N, dtype=jnp.int32),
+        kf_new, idx_b)
+    return m, jnp.sum((lm_id >= 0).astype(jnp.int32))

@@ -1,0 +1,240 @@
+"""The on-device SLAM map: fixed-capacity struct-of-arrays.
+
+TPU-native re-design of ORB-SLAM3's Map/Atlas/KeyFrame/MapPoint pointer
+graph (slam_backends/orb_slam_3/CMakeLists.txt:56-59). The C++ code
+grows std::set graphs of heap objects; on TPU the map is a pytree of
+preallocated arrays with validity masks:
+
+- keyframes: poses (camera-from-world), timestamps, and their full
+  fixed-capacity keypoint tables (uv, descriptors, octaves);
+- the observation structure is one dense (max_kf, n_kp) int32 table
+  ``kf_obs_lm`` mapping each keypoint slot to its landmark id (-1 =
+  none) — the inverse of MapPoint::mObservations, chosen because the
+  keypoint axis is the static one;
+- landmarks: positions, representative descriptors, reference KF.
+
+All mutation functions are functional (return a new MapState) and
+jittable: slot allocation is masked cumsum arithmetic, not malloc.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from send_slam_tpu.config import MapConfig
+
+
+class MapState(NamedTuple):
+    # --- keyframes -----------------------------------------------------
+    kf_R: jnp.ndarray         # (MK,3,3) camera-from-world
+    kf_t: jnp.ndarray         # (MK,3)
+    kf_timestamp: jnp.ndarray  # (MK,)
+    kf_valid: jnp.ndarray     # (MK,) bool
+    kf_uv: jnp.ndarray        # (MK,N,2) undistorted keypoints
+    kf_desc: jnp.ndarray      # (MK,N,8) uint32
+    kf_octave: jnp.ndarray    # (MK,N) int32
+    kf_kp_valid: jnp.ndarray  # (MK,N) bool
+    kf_obs_lm: jnp.ndarray    # (MK,N) int32 — landmark id or -1
+    # --- landmarks -----------------------------------------------------
+    lm_pos: jnp.ndarray       # (ML,3)
+    lm_desc: jnp.ndarray      # (ML,8) uint32
+    lm_valid: jnp.ndarray     # (ML,) bool
+    lm_ref_kf: jnp.ndarray    # (ML,) int32
+    lm_visible: jnp.ndarray   # (ML,) int32 — times predicted in view
+    lm_found: jnp.ndarray     # (ML,) int32 — times matched as inlier
+    # --- counters ------------------------------------------------------
+    n_kf: jnp.ndarray         # () int32 — keyframes appended so far
+
+    @property
+    def max_keyframes(self) -> int:
+        return self.kf_R.shape[0]
+
+    @property
+    def max_landmarks(self) -> int:
+        return self.lm_pos.shape[0]
+
+    @property
+    def n_keypoints(self) -> int:
+        return self.kf_uv.shape[1]
+
+    def n_landmarks(self) -> jnp.ndarray:
+        return jnp.sum(self.lm_valid.astype(jnp.int32))
+
+
+def empty_map(cfg: MapConfig, n_keypoints: int, dtype=jnp.float32) -> MapState:
+    MK, ML, N = cfg.max_keyframes, cfg.max_landmarks, n_keypoints
+    return MapState(
+        kf_R=jnp.tile(jnp.eye(3, dtype=dtype), (MK, 1, 1)),
+        kf_t=jnp.zeros((MK, 3), dtype),
+        kf_timestamp=jnp.zeros((MK,), dtype),
+        kf_valid=jnp.zeros((MK,), bool),
+        kf_uv=jnp.zeros((MK, N, 2), dtype),
+        kf_desc=jnp.zeros((MK, N, 8), jnp.uint32),
+        kf_octave=jnp.zeros((MK, N), jnp.int32),
+        kf_kp_valid=jnp.zeros((MK, N), bool),
+        kf_obs_lm=jnp.full((MK, N), -1, jnp.int32),
+        lm_pos=jnp.zeros((ML, 3), dtype),
+        lm_desc=jnp.zeros((ML, 8), jnp.uint32),
+        lm_valid=jnp.zeros((ML,), bool),
+        lm_ref_kf=jnp.full((ML,), -1, jnp.int32),
+        lm_visible=jnp.zeros((ML,), jnp.int32),
+        lm_found=jnp.zeros((ML,), jnp.int32),
+        n_kf=jnp.asarray(0, jnp.int32),
+    )
+
+
+def insert_keyframe(
+    m: MapState,
+    R: jnp.ndarray, t: jnp.ndarray, timestamp,
+    kp_uv: jnp.ndarray, kp_desc: jnp.ndarray, kp_octave: jnp.ndarray,
+    kp_valid: jnp.ndarray,
+    obs_lm: jnp.ndarray,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Append a keyframe at slot n_kf. obs_lm: (N,) landmark id per
+    keypoint (-1 none) — the tracked associations at insertion time.
+    Returns (new_map, kf_id)."""
+    i = m.n_kf
+    m = m._replace(
+        kf_R=m.kf_R.at[i].set(R),
+        kf_t=m.kf_t.at[i].set(t),
+        kf_timestamp=m.kf_timestamp.at[i].set(timestamp),
+        kf_valid=m.kf_valid.at[i].set(True),
+        kf_uv=m.kf_uv.at[i].set(kp_uv),
+        kf_desc=m.kf_desc.at[i].set(kp_desc),
+        kf_octave=m.kf_octave.at[i].set(kp_octave),
+        kf_kp_valid=m.kf_kp_valid.at[i].set(kp_valid),
+        kf_obs_lm=m.kf_obs_lm.at[i].set(obs_lm),
+        n_kf=m.n_kf + 1,
+    )
+    return m, i
+
+
+def _free_slots(valid: jnp.ndarray, n_new: int) -> jnp.ndarray:
+    """Indices of the first n_new invalid slots (padded with the last
+    slot if the table overflows — callers gate on capacity)."""
+    # rank among invalid slots: 0-based position of each free slot.
+    order = jnp.cumsum((~valid).astype(jnp.int32)) - 1
+    # slot for new item j = first index where (~valid) and order == j.
+    size = valid.shape[0]
+    idx = jnp.arange(size, dtype=jnp.int32)
+    cand = jnp.where(~valid, order, size + 1)
+    # scatter: slots[j] = i where cand[i] == j; misses index out of
+    # bounds and are dropped.
+    slots = jnp.full((n_new,), size - 1, jnp.int32)
+    hit = cand < n_new
+    slots = slots.at[jnp.where(hit, cand, n_new)].set(idx, mode="drop")
+    return slots
+
+
+def add_landmarks(
+    m: MapState,
+    pos: jnp.ndarray,          # (P,3) candidate positions
+    desc: jnp.ndarray,         # (P,8) descriptors
+    good: jnp.ndarray,         # (P,) bool — which candidates to add
+    ref_kf: jnp.ndarray,       # () int32 — reference keyframe id
+    kf_a: jnp.ndarray, kp_idx_a: jnp.ndarray,   # observation A
+    kf_b: jnp.ndarray, kp_idx_b: jnp.ndarray,   # observation B
+) -> Tuple[MapState, jnp.ndarray]:
+    """Insert up to P new landmarks at free slots; register observations
+    in keyframes kf_a, kf_b at keypoint rows kp_idx_*.
+
+    Candidates with good=False write to a dump slot via masked scatter.
+    Returns (map, lm_ids (P,) with -1 for rejected)."""
+    P = pos.shape[0]
+    ML = m.max_landmarks
+    # Compact ranks of good candidates -> free slot list.
+    rank = jnp.cumsum(good.astype(jnp.int32)) - 1           # (P,)
+    slots = _free_slots(m.lm_valid, P)                       # (P,)
+    lm_id = jnp.where(good, slots[jnp.clip(rank, 0, P - 1)], -1)
+
+    # Capacity guard: drop candidates that would overflow.
+    overflow = jnp.sum((~m.lm_valid).astype(jnp.int32)) <= rank
+    lm_id = jnp.where(overflow, -1, lm_id)
+    good = good & (lm_id >= 0)
+
+    # Rejected rows scatter to index ML, which is out of bounds and
+    # silently dropped (mode="drop") — no masked read-modify-write.
+    scatter_idx = jnp.where(good, lm_id, ML)
+    lm_pos = m.lm_pos.at[scatter_idx].set(pos, mode="drop")
+    lm_desc = m.lm_desc.at[scatter_idx].set(desc, mode="drop")
+    lm_valid = m.lm_valid.at[scatter_idx].set(True, mode="drop")
+    lm_ref = m.lm_ref_kf.at[scatter_idx].set(ref_kf, mode="drop")
+    lm_visible = m.lm_visible.at[scatter_idx].set(1, mode="drop")
+    lm_found = m.lm_found.at[scatter_idx].set(1, mode="drop")
+
+    # Observations: kf_obs_lm[kf, kp_idx] = lm_id.
+    def write_obs(obs, kf, kp_idx):
+        row = obs[kf]
+        drop_kp = jnp.where(good, kp_idx, row.shape[0])
+        new_row = row.at[drop_kp].set(lm_id, mode="drop")
+        return obs.at[kf].set(new_row)
+
+    obs = write_obs(m.kf_obs_lm, kf_a, kp_idx_a)
+    obs = write_obs(obs, kf_b, kp_idx_b)
+
+    m = m._replace(lm_pos=lm_pos, lm_desc=lm_desc, lm_valid=lm_valid,
+                   lm_ref_kf=lm_ref, lm_visible=lm_visible,
+                   lm_found=lm_found, kf_obs_lm=obs)
+    return m, lm_id
+
+
+def update_landmark_stats(
+    m: MapState, in_view: jnp.ndarray, found: jnp.ndarray,
+) -> MapState:
+    """Per-frame tracking statistics (MapPoint::IncreaseVisible/Found):
+    in_view, found: (ML,) bool over landmark rows."""
+    return m._replace(
+        lm_visible=m.lm_visible + (in_view & m.lm_valid).astype(jnp.int32),
+        lm_found=m.lm_found + (found & m.lm_valid).astype(jnp.int32),
+    )
+
+
+def cull_landmarks(
+    m: MapState, min_visible: int = 4, min_found_ratio: float = 0.25,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Remove unreliable landmarks (LocalMapping::MapPointCulling):
+    enough visibility opportunities but rarely actually matched.
+    Their observation-table entries are cleared. Returns (map, n_culled).
+    """
+    vis = m.lm_visible.astype(jnp.float32)
+    fnd = m.lm_found.astype(jnp.float32)
+    bad = m.lm_valid & (m.lm_visible >= min_visible) \
+        & (fnd < min_found_ratio * vis)
+    lm_valid = m.lm_valid & ~bad
+    # Clear observation entries that point at culled landmarks.
+    obs = m.kf_obs_lm
+    obs_bad = bad[jnp.clip(obs, 0, m.max_landmarks - 1)] & (obs >= 0)
+    obs = jnp.where(obs_bad, -1, obs)
+    return m._replace(lm_valid=lm_valid, kf_obs_lm=obs), \
+        jnp.sum(bad.astype(jnp.int32))
+
+
+def prune_zero_obs_landmarks(m: MapState) -> MapState:
+    """Invalidate landmarks with fewer than 2 observations in the
+    keyframe table (they cannot be triangulated/BA'd)."""
+    ML = m.max_landmarks
+    flat = m.kf_obs_lm.reshape(-1)
+    ok = (flat >= 0).astype(jnp.int32)
+    counts = jnp.zeros((ML,), jnp.int32).at[
+        jnp.where(flat >= 0, flat, ML)].add(ok, mode="drop")
+    keep = m.lm_valid & (counts >= 2)
+    # Clear dangling single observations too.
+    obs = m.kf_obs_lm
+    dangling = (obs >= 0) & ~keep[jnp.clip(obs, 0, ML - 1)]
+    obs = jnp.where(dangling, -1, obs)
+    return m._replace(lm_valid=keep, kf_obs_lm=obs)
+
+
+def record_observations(
+    m: MapState, kf_id: jnp.ndarray,
+    lm_ids: jnp.ndarray, kp_idx: jnp.ndarray, valid: jnp.ndarray,
+) -> MapState:
+    """Register existing-landmark observations on keyframe kf_id:
+    kf_obs_lm[kf_id, kp_idx[j]] = lm_ids[j] where valid."""
+    row = m.kf_obs_lm[kf_id]
+    drop = jnp.where(valid, kp_idx, row.shape[0])
+    new_row = row.at[drop].set(lm_ids, mode="drop")
+    return m._replace(kf_obs_lm=m.kf_obs_lm.at[kf_id].set(new_row))

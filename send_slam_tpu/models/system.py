@@ -1,0 +1,324 @@
+"""The System facade: host-side orchestration of the jitted SLAM steps.
+
+TPU-native re-design of ORB_SLAM3::System + Tracking's state machine
+(slam_backends/orb_slam_3/CMakeLists.txt:48-49; constructed by the
+reference adapter at orbslam3_mono_networked.cc:511 and driven via
+TrackMonocular at …cc:594). Key architectural departures:
+
+- No threads for tracking/mapping: the per-frame hot path is ONE fused
+  jitted dispatch (extract -> match -> pose GN); keyframe insertion +
+  triangulation + local BA are separate jitted steps invoked at the
+  keyframe rate. Data-dependent *decisions* (initialized? lost? new
+  keyframe?) happen here on the host between dispatches on a handful
+  of scalars; all *math* stays on device with static shapes.
+- The map is a fixed-capacity pytree (models/map_state.py) living on
+  device; the host never materializes it.
+
+Public API mirrors the reference backend's usage:
+``track_monocular(gray, timestamp) -> TrackOutput`` (pose +
+tracking_state, the contents of the pose packet …cc:225-282),
+``get_tracking_state()``, ``shutdown()``/``keyframe_trajectory()``
+(SaveKeyFrameTrajectoryTUM, …cc:670).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from send_slam_tpu.config import EngineConfig
+from send_slam_tpu.geometry.se3 import (
+    quat_from_rotmat, se3_compose, se3_inverse,
+)
+from send_slam_tpu.io.protocol import (
+    TRACKING_LOST, TRACKING_NOT_INITIALIZED, TRACKING_NO_IMAGES_YET,
+    TRACKING_OK, TRACKING_RECENTLY_LOST,
+)
+from send_slam_tpu.models.frame import Frame, make_frame
+from send_slam_tpu.models.initializer import two_view_init
+from send_slam_tpu.models.local_mapping import create_new_landmarks
+from send_slam_tpu.models.local_ba import local_bundle_adjustment
+from send_slam_tpu.models.map_state import (
+    MapState, cull_landmarks, empty_map, insert_keyframe,
+    prune_zero_obs_landmarks, record_observations, update_landmark_stats,
+)
+from send_slam_tpu.models.tracking import track_frame
+
+
+class TrackOutput(NamedTuple):
+    """Host-side result of one frame: everything the pose packet needs."""
+
+    tracking_state: int
+    position: Optional[np.ndarray]      # Twc translation (3,)
+    orientation: Optional[np.ndarray]   # Twc unit quaternion (x,y,z,w)
+    n_inliers: int
+    timestamp: float
+
+
+class System:
+    """Monocular TPU SLAM engine."""
+
+    def __init__(self, config: EngineConfig):
+        self.cfg = config
+        cam = config.camera
+        self._K = jnp.asarray(
+            [[cam.fx, 0, cam.cx], [0, cam.fy, cam.cy], [0, 0, 1]], jnp.float32)
+        self._key = jax.random.PRNGKey(0)
+
+        # --- jitted steps -------------------------------------------------
+        orb, tr = config.orb, config.tracking
+
+        self._make_frame = jax.jit(
+            lambda img, ts: make_frame(img, ts, orb, cam))
+
+        def _init_step(frame_a: Frame, frame_b: Frame, key):
+            return two_view_init(
+                frame_a.uv_und, frame_a.feat.desc, frame_a.feat.valid,
+                frame_a.feat.angle,
+                frame_b.uv_und, frame_b.feat.desc, frame_b.feat.valid,
+                frame_b.feat.angle,
+                self._K, key, tr)
+        self._init_step = jax.jit(_init_step)
+
+        def _track_step(m: MapState, R_pred, t_pred, frame: Frame, radius):
+            return track_frame(
+                R_pred, t_pred,
+                m.lm_pos, m.lm_desc, m.lm_valid,
+                frame.uv_und, frame.feat.desc, frame.feat.valid,
+                frame.feat.octave,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+                tr, scale_factor=orb.scale_factor, search_radius=radius)
+        self._track_step = jax.jit(_track_step, static_argnames=("radius",))
+        self._update_stats = jax.jit(update_landmark_stats)
+
+        def _bootstrap_map(m: MapState, fa: Frame, fb: Frame, init_res):
+            """Create KF0 (identity) + KF1 (R,t) + initial landmarks."""
+            N = fa.feat.capacity
+            eye = jnp.eye(3, dtype=jnp.float32)
+            zero = jnp.zeros(3, jnp.float32)
+            no_obs = jnp.full((N,), -1, jnp.int32)
+            m, kf0 = insert_keyframe(
+                m, eye, zero, fa.timestamp, fa.uv_und, fa.feat.desc,
+                fa.feat.octave, fa.feat.valid, no_obs)
+            m, kf1 = insert_keyframe(
+                m, init_res.R, init_res.t, fb.timestamp, fb.uv_und,
+                fb.feat.desc, fb.feat.octave, fb.feat.valid, no_obs)
+            good = init_res.point_ok & init_res.matches.valid
+            idx_b = jnp.clip(init_res.matches.idx, 0, N - 1)
+            from send_slam_tpu.models.map_state import add_landmarks
+            m, _ = add_landmarks(
+                m, init_res.points, fa.feat.desc, good, kf0,
+                kf0, jnp.arange(N, dtype=jnp.int32), kf1, idx_b)
+            # Initial refinement (ORB-SLAM's post-init global BA):
+            # KF0 fixed, KF1 + structure free.
+            m = local_bundle_adjustment(m, self._K, config.map, iters=10)
+            return m
+        self._bootstrap_map = jax.jit(_bootstrap_map)
+
+        def _insert_kf_step(m: MapState, R, t, frame: Frame,
+                            match_idx, match_inlier):
+            """Insert current frame as KF: invert lm->kp matches into
+            the per-keypoint observation row, then triangulate new
+            landmarks against the previous KF."""
+            N = frame.feat.capacity
+            ML = m.max_landmarks
+            # Cull unreliable landmarks before extending the map.
+            m, _ = cull_landmarks(m)
+            lm_rows = jnp.arange(ML, dtype=jnp.int32)
+            kp_of_lm = jnp.where(match_inlier & m.lm_valid, match_idx, N)
+            obs = jnp.full((N,), -1, jnp.int32)
+            obs = obs.at[kp_of_lm].set(lm_rows, mode="drop")
+            m, kf_id = insert_keyframe(
+                m, R, t, frame.timestamp, frame.uv_und, frame.feat.desc,
+                frame.feat.octave, frame.feat.valid, obs)
+            # Triangulate against several recent keyframes (wider
+            # baselines than the adjacent KF alone — the covisible-KF
+            # sweep of LocalMapping::CreateNewMapPoints). Earlier passes
+            # consume unassociated keypoints, so later ones only add.
+            n_new = jnp.asarray(0, jnp.int32)
+            for back in (1, 2, 3):
+                kf_ref = jnp.maximum(kf_id - back, 0)
+                m, n = create_new_landmarks(m, kf_id, kf_ref, self._K, tr)
+                n_new = n_new + n
+            return m, kf_id, n_new
+        self._insert_kf_step = jax.jit(_insert_kf_step)
+
+        def _local_ba_step(m: MapState):
+            m = local_bundle_adjustment(m, self._K, config.map)
+            return prune_zero_obs_landmarks(m)
+        self._local_ba_step = jax.jit(_local_ba_step)
+
+        self.reset()
+
+    # ------------------------------------------------------------------
+    # State machine
+
+    def reset(self) -> None:
+        cfg = self.cfg
+        self.map: MapState = empty_map(cfg.map, cfg.orb.n_features)
+        self.state = TRACKING_NO_IMAGES_YET
+        self._ref_frame: Optional[Frame] = None
+        self._R = jnp.eye(3, dtype=jnp.float32)   # current Tcw
+        self._t = jnp.zeros(3, jnp.float32)
+        self._vel = None                          # (Rv, tv) motion model
+        self._frames_since_kf = 0
+        self._inliers_at_kf = 0
+        self._lost_frames = 0
+        self._trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._kf_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+
+    def get_tracking_state(self) -> int:
+        return self.state
+
+    # ------------------------------------------------------------------
+
+    def track_monocular(self, gray: np.ndarray, timestamp: float) -> TrackOutput:
+        """gray: (H, W) uint8/float — one frame. Returns the pose in
+        world-from-camera convention (Twc), like the reference backend
+        sends (Twc = Tcw^-1, orbslam3_mono_networked.cc:246-249)."""
+        img = jnp.asarray(gray, jnp.float32)
+        frame = self._make_frame(img, timestamp)
+
+        if self.state in (TRACKING_NO_IMAGES_YET, TRACKING_NOT_INITIALIZED):
+            self._try_initialize(frame, timestamp)
+        elif self.state in (TRACKING_OK, TRACKING_RECENTLY_LOST):
+            self._track(frame, timestamp)
+        elif self.state == TRACKING_LOST:
+            # Round-1 recovery: wide-window re-track; full PnP
+            # relocalization lives in models/relocalize.py (round 2).
+            self._track(frame, timestamp, wide=True)
+
+        if self.state == TRACKING_OK:
+            pos, quat = self._twc()
+            self._trajectory.append((timestamp, pos, quat))
+            return TrackOutput(TRACKING_OK, pos, quat,
+                               self._last_inliers, timestamp)
+        return TrackOutput(self.state, None, None, 0, timestamp)
+
+    # ------------------------------------------------------------------
+
+    def _try_initialize(self, frame: Frame, timestamp: float) -> None:
+        if self._ref_frame is None:
+            if int(frame.feat.num_valid()) >= self.cfg.tracking.init_min_matches:
+                self._ref_frame = frame
+                self.state = TRACKING_NOT_INITIALIZED
+            return
+
+        self._key, sub = jax.random.split(self._key)
+        res = self._init_step(self._ref_frame, frame, sub)
+        if bool(res.ok):
+            self.map = self._bootstrap_map(
+                self.map, self._ref_frame, frame, res)
+            self._R, self._t = res.R, res.t
+            self._vel = None
+            self.state = TRACKING_OK
+            self._last_inliers = int(res.n_good)
+            self._inliers_at_kf = self._last_inliers
+            self._frames_since_kf = 0
+            ts_ref = float(np.asarray(self._ref_frame.timestamp))
+            eye_p, eye_q = np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0])
+            self._kf_trajectory.append((ts_ref, eye_p, eye_q))
+            pos, quat = self._twc()
+            self._kf_trajectory.append((timestamp, pos, quat))
+        else:
+            # Slide the reference forward if it is getting stale.
+            ts_ref = float(np.asarray(self._ref_frame.timestamp))
+            if timestamp - ts_ref > 1.0:
+                self._ref_frame = frame
+
+    def _track(self, frame: Frame, timestamp: float, wide: bool = False) -> None:
+        tr = self.cfg.tracking
+        # Constant-velocity prediction.
+        if self._vel is not None and not wide:
+            Rv, tv = self._vel
+            R_pred, t_pred = se3_compose(Rv, tv, self._R, self._t)
+        else:
+            R_pred, t_pred = self._R, self._t
+
+        radius = 1e9 if wide else tr.search_radius_px
+        res = self._track_step(self.map, R_pred, t_pred, frame, radius)
+        n_inl = int(res.n_inliers)
+
+        if n_inl < tr.min_track_matches:
+            if not wide:
+                # Retry with a wide search window before declaring lost.
+                res = self._track_step(self.map, self._R, self._t, frame, 1e9)
+                n_inl = int(res.n_inliers)
+            if n_inl < tr.min_track_matches:
+                self._lost_frames += 1
+                self.state = (TRACKING_RECENTLY_LOST
+                              if self._lost_frames <= 20 else TRACKING_LOST)
+                self._vel = None
+                return
+
+        # Landmark visibility statistics for culling.
+        self.map = self._update_stats(
+            self.map, res.in_view, res.inlier)
+
+        # Motion model: T_vel = T_new ∘ T_old^-1.
+        R_old_i, t_old_i = se3_inverse(self._R, self._t)
+        self._vel = se3_compose(res.R, res.t, R_old_i, t_old_i)
+        self._R, self._t = res.R, res.t
+        self._last_inliers = n_inl
+        self._lost_frames = 0
+        self.state = TRACKING_OK
+        self._frames_since_kf += 1
+
+        if self._need_keyframe(n_inl):
+            self._insert_keyframe(frame, res)
+
+    def _need_keyframe(self, n_inl: int) -> bool:
+        cfg = self.cfg
+        if int(self.map.n_kf) >= cfg.map.max_keyframes - 1:
+            return False
+        if self._frames_since_kf < cfg.tracking.kf_min_interval:
+            return False
+        weak = n_inl < cfg.tracking.kf_tracked_ratio * max(self._inliers_at_kf, 1)
+        stale = self._frames_since_kf >= cfg.tracking.kf_max_interval
+        return weak or stale
+
+    def _insert_keyframe(self, frame: Frame, track_res) -> None:
+        self.map, kf_id, n_new = self._insert_kf_step(
+            self.map, self._R, self._t, frame,
+            track_res.matches.idx, track_res.matches.valid & track_res.inlier)
+        self.map = self._local_ba_step(self.map)
+        # Refresh the current pose from the BA-adjusted keyframe.
+        self._R = self.map.kf_R[kf_id]
+        self._t = self.map.kf_t[kf_id]
+        self._vel = None
+        self._frames_since_kf = 0
+        self._inliers_at_kf = self._last_inliers
+        pos, quat = self._twc()
+        self._kf_trajectory.append(
+            (float(np.asarray(frame.timestamp)), pos, quat))
+
+    # ------------------------------------------------------------------
+
+    def _twc(self) -> Tuple[np.ndarray, np.ndarray]:
+        Rwc, twc = se3_inverse(self._R, self._t)
+        q = quat_from_rotmat(Rwc)
+        return np.asarray(twc), np.asarray(q)
+
+    # ------------------------------------------------------------------
+    # Shutdown artifacts (reference: stats + TUM trajectory, …cc:652-671)
+
+    def keyframe_trajectory_tum(self) -> str:
+        """TUM-format keyframe trajectory (timestamp tx ty tz qx qy qz qw),
+        like SaveKeyFrameTrajectoryTUM (…cc:670)."""
+        lines = []
+        for ts, p, q in self._kf_trajectory:
+            lines.append(
+                f"{ts:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}")
+        return "\n".join(lines) + "\n"
+
+    def trajectory(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
+        return list(self._trajectory)
+
+    def shutdown(self) -> None:
+        pass

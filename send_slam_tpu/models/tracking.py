@@ -139,6 +139,7 @@ class TrackResult(NamedTuple):
     t: jnp.ndarray
     matches: Matches        # landmark-row -> keypoint-column matches
     inlier: jnp.ndarray     # (L,) bool over landmark rows
+    in_view: jnp.ndarray    # (L,) bool — predicted visible this frame
     n_inliers: jnp.ndarray  # () int32
 
 
@@ -156,34 +157,47 @@ def track_frame(
     scale_factor: float = 1.2,
     search_radius: float = None,
 ) -> TrackResult:
-    """One tracking step: search-by-projection + robust pose GN."""
+    """One tracking step: two-pass search-by-projection + robust pose GN
+    (the TrackWithMotionModel -> TrackLocalMap sequence of ORB-SLAM3's
+    Tracking, fused into one dispatch: match at the predicted pose,
+    optimize, re-match at the refined pose with a tighter window,
+    re-optimize)."""
     radius = cfg.search_radius_px if search_radius is None else search_radius
 
-    # Project landmarks with the predicted pose.
-    p = lm_pos @ R_pred.T + t_pred[None]
-    z = p[:, 2]
-    uv_pred = jnp.stack([
-        fx * p[:, 0] / jnp.maximum(z, 1e-6) + cx,
-        fy * p[:, 1] / jnp.maximum(z, 1e-6) + cy,
-    ], -1)
-    in_view = (lm_valid & (z > 0.01)
-               & (uv_pred[:, 0] >= 0) & (uv_pred[:, 0] < width)
-               & (uv_pred[:, 1] >= 0) & (uv_pred[:, 1] < height))
+    def project(R, t):
+        p = lm_pos @ R.T + t[None]
+        z = p[:, 2]
+        uv = jnp.stack([
+            fx * p[:, 0] / jnp.maximum(z, 1e-6) + cx,
+            fy * p[:, 1] / jnp.maximum(z, 1e-6) + cy,
+        ], -1)
+        in_view = (lm_valid & (z > 0.01)
+                   & (uv[:, 0] >= 0) & (uv[:, 0] < width)
+                   & (uv[:, 1] >= 0) & (uv[:, 1] < height))
+        return uv, in_view
 
-    window = projection_window_mask(uv_pred, kp_uv, radius)
-    m = match_descriptors(lm_desc, kp_desc, in_view, kp_valid,
-                          max_dist=float(cfg.hamming_th_high),
-                          ratio=cfg.ratio_test, mutual=True,
-                          extra_mask=window)
+    def match_and_optimize(R, t, rad, gn_rounds):
+        uv_pred, in_view = project(R, t)
+        window = projection_window_mask(uv_pred, kp_uv, rad)
+        m = match_descriptors(lm_desc, kp_desc, in_view, kp_valid,
+                              max_dist=float(cfg.hamming_th_high),
+                              ratio=cfg.ratio_test, mutual=True,
+                              extra_mask=window)
+        # Per-observation variance from keypoint octave (ORB invSigma2).
+        oct_m = kp_octave[jnp.clip(m.idx, 0, kp_octave.shape[0] - 1)]
+        sigma2 = (scale_factor ** oct_m.astype(jnp.float32)) ** 2
+        uv_obs = kp_uv[jnp.clip(m.idx, 0, kp_uv.shape[0] - 1)]
+        opt = pose_only_gn(R, t, lm_pos, uv_obs, m.valid,
+                           fx, fy, cx, cy, sigma2=sigma2,
+                           huber_delta=cfg.huber_delta,
+                           iters=cfg.pose_gn_iters // 2, rounds=gn_rounds)
+        return m, opt, in_view
 
-    # Per-observation variance from keypoint octave (ORB invSigma2).
-    oct_m = kp_octave[jnp.clip(m.idx, 0, kp_octave.shape[0] - 1)]
-    sigma2 = (scale_factor ** oct_m.astype(jnp.float32)) ** 2
-
-    uv_obs = kp_uv[jnp.clip(m.idx, 0, kp_uv.shape[0] - 1)]
-    opt = pose_only_gn(R_pred, t_pred, lm_pos, uv_obs, m.valid,
-                       fx, fy, cx, cy, sigma2=sigma2,
-                       huber_delta=cfg.huber_delta,
-                       iters=cfg.pose_gn_iters // 2, rounds=4)
+    # Pass 1: wide window at the motion-model prediction.
+    _, opt1, _ = match_and_optimize(R_pred, t_pred, radius, 2)
+    # Pass 2: tight window at the refined pose (recovers landmarks the
+    # prediction error pushed outside the first window).
+    m, opt, in_view = match_and_optimize(
+        opt1.R, opt1.t, jnp.minimum(radius, 9.0), 4)
     return TrackResult(R=opt.R, t=opt.t, matches=m, inlier=opt.inlier,
-                       n_inliers=opt.n_inliers)
+                       in_view=in_view, n_inliers=opt.n_inliers)
