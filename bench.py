@@ -1,0 +1,98 @@
+"""Benchmark: tracked frames/sec/chip on 640x480 monocular SLAM.
+
+Runs the full System (ORB extraction -> two-pass tracking -> keyframe
+insertion + triangulation + Schur local BA) over a synthetic 640x480
+sequence with known ground truth, on whatever accelerator JAX exposes
+(the driver runs it on one real TPU chip). Prints ONE JSON line:
+
+    {"metric": "tracked_fps_640x480_mono", "value": N,
+     "unit": "frames/sec/chip", "vs_baseline": N/30}
+
+Baseline: the reference's implied real-time target — 30 fps capture
+with the backend pacing to the inter-frame interval
+(send_slam/lib/send_slam/application.ex:51-54,
+orbslam3_mono_networked.cc:618-624). BASELINE.md codifies this as
+">= 30 fps on 1x TPU v5e" with no published reference numbers to beat.
+
+Env knobs: SLAM_BENCH_FRAMES (default 90), SLAM_BENCH_WARMUP (default
+15), SLAM_BENCH_CPU=1 forces the CPU backend (smoke-testing).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    if os.environ.get("SLAM_BENCH_CPU") == "1":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from send_slam_tpu.config import (
+        CameraConfig, EngineConfig, MapConfig, OrbConfig, TrackingConfig,
+    )
+    from send_slam_tpu.io.evaluate import ate_rmse
+    from send_slam_tpu.models.system import System
+    from send_slam_tpu.utils.synth import SyntheticWorld
+
+    n_frames = int(os.environ.get("SLAM_BENCH_FRAMES", "90"))
+    warmup = int(os.environ.get("SLAM_BENCH_WARMUP", "15"))
+
+    world = SyntheticWorld(n_points=900, width=640, height=480,
+                           fx=520.0, fy=520.0)
+    cfg = EngineConfig(
+        camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
+                            cx=320.0, cy=240.0),
+        map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
+        tracking=TrackingConfig(init_min_matches=50),
+    )
+    ts, Rs, tls = world.trajectory(n_frames=n_frames)
+    frames = [world.render(Rs[k], tls[k]) for k in range(n_frames)]
+
+    sys_ = System(cfg)
+    t_track = []
+    est_ts, est_pos = [], []
+    n_ok = 0
+    for k in range(n_frames):
+        t0 = time.perf_counter()
+        out = sys_.track_monocular(frames[k], float(ts[k]))
+        dt = time.perf_counter() - t0
+        if k >= warmup:
+            t_track.append(dt)
+        if out.tracking_state == 2:
+            n_ok += 1
+            est_ts.append(out.timestamp)
+            est_pos.append(out.position)
+
+    med = float(np.median(t_track)) if t_track else float("inf")
+    mean = float(np.mean(t_track)) if t_track else float("inf")
+    fps = 1.0 / mean if mean > 0 else 0.0
+
+    gt_pos = [-R.T @ t for R, t in zip(Rs, tls)]
+    ate = (ate_rmse(est_ts, np.asarray(est_pos), ts, np.asarray(gt_pos))
+           if len(est_pos) >= 3 else float("inf"))
+
+    # Shutdown stats like the reference backend (…cc:656-664).
+    print(f"# median tracking time: {med*1e3:.2f} ms", file=sys.stderr)
+    print(f"# mean tracking time:   {mean*1e3:.2f} ms", file=sys.stderr)
+    print(f"# tracked frames:       {n_ok}/{n_frames}", file=sys.stderr)
+    print(f"# ATE RMSE (synthetic): {ate:.4f} m", file=sys.stderr)
+    print(f"# backend: {jax.default_backend()} {jax.devices()[0].device_kind}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "tracked_fps_640x480_mono",
+        "value": round(fps, 2),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

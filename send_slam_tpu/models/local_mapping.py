@@ -17,7 +17,9 @@ import jax.numpy as jnp
 from send_slam_tpu.config import MapConfig, TrackingConfig
 from send_slam_tpu.geometry.se3 import hat
 from send_slam_tpu.geometry.triangulate import triangulate_batch
-from send_slam_tpu.models.map_state import MapState, add_landmarks
+from send_slam_tpu.models.map_state import (
+    MapState, add_landmarks, cull_landmarks, insert_keyframe,
+)
 from send_slam_tpu.ops.hamming import match_descriptors
 
 
@@ -109,3 +111,37 @@ def create_new_landmarks(
         kf_ref, jnp.arange(N, dtype=jnp.int32),
         kf_new, idx_b)
     return m, jnp.sum((lm_id >= 0).astype(jnp.int32))
+
+
+def insert_keyframe_with_triangulation(
+    m: MapState,
+    R: jnp.ndarray, t: jnp.ndarray,
+    frame,                       # models.frame.Frame
+    match_idx: jnp.ndarray,      # (ML,) lm-row -> kp index from tracking
+    match_inlier: jnp.ndarray,   # (ML,) bool
+    K: jnp.ndarray,
+    cfg: TrackingConfig,
+    n_triangulate_refs: int = 3,
+):
+    """The full keyframe-insertion step (jittable): cull unreliable
+    landmarks, invert the tracked lm->kp matches into the keypoint
+    observation row, append the keyframe, and triangulate new landmarks
+    against the ``n_triangulate_refs`` most recent keyframes (wider
+    baselines than the adjacent KF alone — LocalMapping's covisible-KF
+    sweep). Returns (map, kf_id, n_new_landmarks)."""
+    N = frame.feat.capacity
+    ML = m.max_landmarks
+    m, _ = cull_landmarks(m)
+    lm_rows = jnp.arange(ML, dtype=jnp.int32)
+    kp_of_lm = jnp.where(match_inlier & m.lm_valid, match_idx, N)
+    obs = jnp.full((N,), -1, jnp.int32)
+    obs = obs.at[kp_of_lm].set(lm_rows, mode="drop")
+    m, kf_id = insert_keyframe(
+        m, R, t, frame.timestamp, frame.uv_und, frame.feat.desc,
+        frame.feat.octave, frame.feat.valid, obs)
+    n_new = jnp.asarray(0, jnp.int32)
+    for back in range(1, n_triangulate_refs + 1):
+        kf_ref = jnp.maximum(kf_id - back, 0)
+        m, n = create_new_landmarks(m, kf_id, kf_ref, K, cfg)
+        n_new = n_new + n
+    return m, kf_id, n_new

@@ -41,11 +41,13 @@ from send_slam_tpu.io.protocol import (
 )
 from send_slam_tpu.models.frame import Frame, make_frame
 from send_slam_tpu.models.initializer import two_view_init
-from send_slam_tpu.models.local_mapping import create_new_landmarks
+from send_slam_tpu.models.local_mapping import (
+    insert_keyframe_with_triangulation,
+)
 from send_slam_tpu.models.local_ba import local_bundle_adjustment
 from send_slam_tpu.models.map_state import (
-    MapState, cull_landmarks, empty_map, insert_keyframe,
-    prune_zero_obs_landmarks, record_observations, update_landmark_stats,
+    MapState, empty_map, insert_keyframe,
+    prune_zero_obs_landmarks, update_landmark_stats,
 )
 from send_slam_tpu.models.tracking import track_frame
 
@@ -122,30 +124,8 @@ class System:
 
         def _insert_kf_step(m: MapState, R, t, frame: Frame,
                             match_idx, match_inlier):
-            """Insert current frame as KF: invert lm->kp matches into
-            the per-keypoint observation row, then triangulate new
-            landmarks against the previous KF."""
-            N = frame.feat.capacity
-            ML = m.max_landmarks
-            # Cull unreliable landmarks before extending the map.
-            m, _ = cull_landmarks(m)
-            lm_rows = jnp.arange(ML, dtype=jnp.int32)
-            kp_of_lm = jnp.where(match_inlier & m.lm_valid, match_idx, N)
-            obs = jnp.full((N,), -1, jnp.int32)
-            obs = obs.at[kp_of_lm].set(lm_rows, mode="drop")
-            m, kf_id = insert_keyframe(
-                m, R, t, frame.timestamp, frame.uv_und, frame.feat.desc,
-                frame.feat.octave, frame.feat.valid, obs)
-            # Triangulate against several recent keyframes (wider
-            # baselines than the adjacent KF alone — the covisible-KF
-            # sweep of LocalMapping::CreateNewMapPoints). Earlier passes
-            # consume unassociated keypoints, so later ones only add.
-            n_new = jnp.asarray(0, jnp.int32)
-            for back in (1, 2, 3):
-                kf_ref = jnp.maximum(kf_id - back, 0)
-                m, n = create_new_landmarks(m, kf_id, kf_ref, self._K, tr)
-                n_new = n_new + n
-            return m, kf_id, n_new
+            return insert_keyframe_with_triangulation(
+                m, R, t, frame, match_idx, match_inlier, self._K, tr)
         self._insert_kf_step = jax.jit(_insert_kf_step)
 
         def _local_ba_step(m: MapState):

@@ -11,7 +11,7 @@ from send_slam_tpu.io.evaluate import ate_rmse, umeyama_alignment
 from send_slam_tpu.io.protocol import TRACKING_OK
 from send_slam_tpu.models.system import System
 
-from synthetic_world import SyntheticWorld
+from send_slam_tpu.utils.synth import SyntheticWorld
 
 
 @pytest.fixture(scope="module")
