@@ -1,0 +1,191 @@
+"""Calibration subsystem: corner detection vs cv2 oracle, Zhang
+recovery of known intrinsics, JSON schema round-trip."""
+
+import json
+
+import cv2
+import numpy as np
+import pytest
+
+from send_slam_tpu.calib import (
+    calibration_from_json, calibration_to_json, detect_checkerboard,
+)
+from send_slam_tpu.calib.pipeline import calibrate
+from send_slam_tpu.calib.zhang import (
+    calibrate_camera, make_object_points,
+)
+
+PATTERN = (9, 6)
+SQUARE = 25.0
+W, H = 640, 480
+K_GT = np.array([[520.0, 0, 322.0], [0, 515.0, 238.0], [0, 0, 1]])
+DIST_GT = np.array([0.08, -0.15, 0.001, -0.0005, 0.0])
+
+
+def render_board(rvec, tvec, dist=DIST_GT, noise=0.0, seed=0):
+    """Inverse-warp render of a checkerboard plane (z=0) under K_GT with
+    radtan distortion: per-pixel ray -> plane intersection -> checker."""
+    from scipy.spatial.transform import Rotation
+    R = Rotation.from_rotvec(rvec).as_matrix()
+    t = np.asarray(tvec, float)
+
+    us, vs = np.meshgrid(np.arange(W), np.arange(H))
+    x = (us - K_GT[0, 2]) / K_GT[0, 0]
+    y = (vs - K_GT[1, 2]) / K_GT[1, 1]
+    # Invert distortion (fixed-point, as in geometry/camera.py).
+    k1, k2, p1, p2, k3 = dist
+    xn, yn = x.copy(), y.copy()
+    for _ in range(10):
+        r2 = xn * xn + yn * yn
+        radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+        dx = 2 * p1 * xn * yn + p2 * (r2 + 2 * xn * xn)
+        dy = p1 * (r2 + 2 * yn * yn) + 2 * p2 * xn * yn
+        xn = (x - dx) / radial
+        yn = (y - dy) / radial
+    # Ray (xn, yn, 1) intersect board plane: X_cam = R Xb + t, Xb.z = 0.
+    Rinv = R.T
+    rays = np.stack([xn, yn, np.ones_like(xn)], -1)
+    denom = rays @ Rinv.T[:, 2]
+    lam = (Rinv @ t)[2] / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+    Xb = np.einsum('ij,hwj->hwi', Rinv, lam[..., None] * rays - t)
+    bx, by = Xb[..., 0] / SQUARE, Xb[..., 1] / SQUARE
+    # Inner corners at integer lattice points 0..cols-1: squares span
+    # [-1, cols] x [-1, rows]; outside: white border.
+    inside = (bx > -1) & (bx < PATTERN[0]) & (by > -1) & (by < PATTERN[1]) & (lam > 0)
+    checker = ((np.floor(bx) + np.floor(by)) % 2 == 0)
+    img = np.where(inside, np.where(checker, 235.0, 25.0), 230.0)
+    # Mild blur for realistic gradients.
+    img = cv2.GaussianBlur(img.astype(np.float32), (5, 5), 1.0)
+    if noise:
+        img = img + np.random.default_rng(seed).normal(0, noise, img.shape)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def board_views(n=12, dist=DIST_GT, noise=0.5):
+    """A spread of views keeping the full board visible."""
+    views = []
+    rng = np.random.default_rng(42)
+    cx_b = PATTERN[0] * SQUARE / 2
+    cy_b = PATTERN[1] * SQUARE / 2
+    for i in range(n):
+        rvec = np.array([
+            rng.uniform(-0.35, 0.35),
+            rng.uniform(-0.35, 0.35),
+            rng.uniform(-0.5, 0.5),
+        ])
+        tvec = np.array([
+            -cx_b + rng.uniform(-40, 40),
+            -cy_b + rng.uniform(-30, 30),
+            rng.uniform(420, 650),
+        ])
+        views.append((rvec, tvec, render_board(rvec, tvec, dist, noise, i)))
+    return views
+
+
+@pytest.fixture(scope="module")
+def views():
+    return board_views()
+
+
+class TestDetection:
+    def test_finds_all_corners_frontal(self):
+        img = render_board(np.zeros(3),
+                           [-PATTERN[0] * SQUARE / 2,
+                            -PATTERN[1] * SQUARE / 2, 500.0])
+        corners = detect_checkerboard(img, PATTERN)
+        assert corners is not None
+        assert corners.shape == (54, 2)
+
+    def test_corner_accuracy_vs_cv2(self, views):
+        rvec, tvec, img = views[0]
+        ours = detect_checkerboard(img, PATTERN)
+        assert ours is not None
+        found, ref = cv2.findChessboardCorners(
+            img.astype(np.uint8), PATTERN,
+            flags=cv2.CALIB_CB_ADAPTIVE_THRESH)
+        assert found
+        ref = cv2.cornerSubPix(
+            img.astype(np.uint8), ref.astype(np.float32), (5, 5), (-1, -1),
+            (cv2.TERM_CRITERIA_EPS + cv2.TERM_CRITERIA_MAX_ITER, 30, 1e-3))
+        ref = ref.reshape(-1, 2)
+        # Same set of corners (order may differ) within 0.5 px.
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(ref).query(ours)
+        assert np.median(d) < 0.3, np.median(d)
+        assert np.max(d) < 1.0, np.max(d)
+
+    def test_row_major_ordering_consistent(self, views):
+        # Consecutive corners along a row are ~one square apart; row
+        # jumps are bigger.
+        _, _, img = views[1]
+        c = detect_checkerboard(img, PATTERN)
+        assert c is not None
+        rows = c.reshape(PATTERN[1], PATTERN[0], 2)
+        step = np.linalg.norm(np.diff(rows, axis=1), axis=-1)
+        assert step.std() < step.mean() * 0.5
+
+    def test_returns_none_without_board(self):
+        rng = np.random.default_rng(0)
+        img = rng.uniform(0, 255, (H, W)).astype(np.float32)
+        assert detect_checkerboard(img, PATTERN) is None
+
+
+class TestZhang:
+    def test_recovers_intrinsics_from_exact_corners(self, views):
+        obj = make_object_points(PATTERN, SQUARE)
+        obj_v, img_v = [], []
+        from scipy.spatial.transform import Rotation
+        for rvec, tvec, _ in views:
+            R = Rotation.from_rotvec(rvec).as_matrix()
+            p = obj @ R.T + tvec
+            x = p[:, 0] / p[:, 2]
+            y = p[:, 1] / p[:, 2]
+            k1, k2, p1_, p2_, k3 = DIST_GT
+            r2 = x * x + y * y
+            radial = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            xd = x * radial + 2 * p1_ * x * y + p2_ * (r2 + 2 * x * x)
+            yd = y * radial + p1_ * (r2 + 2 * y * y) + 2 * p2_ * x * y
+            u = K_GT[0, 0] * xd + K_GT[0, 2]
+            v = K_GT[1, 1] * yd + K_GT[1, 2]
+            obj_v.append(obj)
+            img_v.append(np.stack([u, v], -1))
+        res = calibrate_camera(np.asarray(obj_v), np.asarray(img_v))
+        assert res["reprojection_error"] < 0.1, res["reprojection_error"]
+        np.testing.assert_allclose(res["camera_matrix"][0, 0], 520.0, rtol=5e-3)
+        np.testing.assert_allclose(res["camera_matrix"][1, 1], 515.0, rtol=5e-3)
+        np.testing.assert_allclose(res["camera_matrix"][0, 2], 322.0, atol=3.0)
+        np.testing.assert_allclose(res["distortion_coeffs"][0, 0], 0.08, atol=0.02)
+
+    def test_full_pipeline_on_rendered_views(self, views):
+        frames = [img for _, _, img in views]
+        res = calibrate(frames, PATTERN, SQUARE)
+        assert res["successful_frames"] >= 10
+        assert res["reprojection_error"] < 1.0, res["reprojection_error"]
+        K = res["camera_matrix"]
+        assert abs(K[0, 0] - 520.0) / 520.0 < 0.02, K
+        assert abs(K[1, 1] - 515.0) / 515.0 < 0.02, K
+
+    def test_insufficient_frames_raises(self):
+        rng = np.random.default_rng(1)
+        noise = [rng.uniform(0, 255, (H, W)).astype(np.float32)
+                 for _ in range(12)]
+        with pytest.raises(ValueError, match="insufficient"):
+            calibrate(noise, PATTERN, SQUARE)
+
+
+class TestJsonSchema:
+    def test_roundtrip_matches_reference_layout(self):
+        calib = {
+            "camera_matrix": K_GT,
+            "distortion_coeffs": DIST_GT.reshape(1, 5),
+            "reprojection_error": 0.31,
+            "successful_frames": 11,
+        }
+        text = calibration_to_json(calib)
+        raw = json.loads(text)
+        assert raw["camera_matrix"]["shape"] == [3, 3]
+        assert len(raw["camera_matrix"]["data"]) == 9
+        assert raw["distortion_coeffs"]["shape"] == [1, 5]
+        back = calibration_from_json(text)
+        np.testing.assert_allclose(back["camera_matrix"], K_GT)
+        assert back["successful_frames"] == 11
