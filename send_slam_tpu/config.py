@@ -104,9 +104,9 @@ class TrackingConfig:
     kf_tracked_ratio: float = 0.9   # new KF if tracked < ratio * ref
     kf_max_interval: int = 10       # force a KF after this many frames
     # Two-view initializer
-    init_ransac_iters: int = 256
+    init_ransac_iters: int = 512
     init_min_matches: int = 60
-    init_min_parallax_deg: float = 1.0
+    init_min_parallax_deg: float = 0.8
 
 
 @dataclasses.dataclass(frozen=True)

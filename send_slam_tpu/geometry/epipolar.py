@@ -66,6 +66,30 @@ def eight_point_fundamental(x1, x2, weights=None):
     return F / jnp.where(jnp.abs(F[2, 2]) < 1e-10, 1.0, F[2, 2])
 
 
+def eight_point_essential(x1n, x2n, weights=None):
+    """8-point ESSENTIAL matrix on K-normalized coords (x/z, y/z).
+
+    Same linear system as the fundamental case but projected onto the
+    essential manifold (singular values (s, s, 0)) — with calibration
+    known this removes the 2 spurious dof that let F drift off valid
+    two-view geometries on quasi-degenerate inlier sets."""
+    x1h, T1 = _normalize_points(x1n, weights)
+    x2h, T2 = _normalize_points(x2n, weights)
+    u1, v1 = x1h[:, 0], x1h[:, 1]
+    u2, v2 = x2h[:, 0], x2h[:, 1]
+    ones = jnp.ones_like(u1)
+    A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, ones], -1)
+    if weights is not None:
+        A = A * weights[:, None]
+    e = _smallest_singular_vector(A)
+    E = T2.T @ e.reshape(3, 3) @ T1
+    U, S, Vt = jnp.linalg.svd(E)
+    s = 0.5 * (S[0] + S[1])
+    E = (U * jnp.asarray([s, s, 0.0], E.dtype)[None, :]) @ Vt
+    n = jnp.linalg.norm(E)
+    return E / jnp.where(n < 1e-12, 1.0, n)
+
+
 def homography_dlt(x1, x2, weights=None):
     """DLT homography from N>=4 correspondences; x2 ~ H x1.
     Optional weights (N,) zero out masked correspondences.

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from send_slam_tpu.config import TrackingConfig
-from send_slam_tpu.geometry.epipolar import eight_point_fundamental, sampson_error
+from send_slam_tpu.geometry.epipolar import eight_point_essential, sampson_error
 from send_slam_tpu.geometry.triangulate import triangulate_batch
 from send_slam_tpu.ops.hamming import Matches, match_descriptors
 
@@ -38,11 +38,13 @@ class InitResult(NamedTuple):
 
 
 def _sample_minimal_sets(key, valid, n_hyp: int, k: int):
-    """(n_hyp, k) indices drawn from valid entries (with replacement —
-    collisions just score badly and lose the vote)."""
-    logits = jnp.where(valid, 0.0, -1e9)
-    return jax.random.categorical(key, logits[None, :], axis=-1,
-                                  shape=(n_hyp, k))
+    """(n_hyp, k) DISTINCT indices drawn uniformly from valid entries
+    via Gumbel-top-k: one (n_hyp, N) noise draw, one top_k — no
+    sequential rejection loops, no duplicate-sample degeneracy."""
+    g = jax.random.gumbel(key, (n_hyp, valid.shape[0]))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, k)
+    return idx
 
 
 def _decompose_essential(E):
@@ -116,40 +118,65 @@ def two_view_init(
     x2 = uv_b[jnp.clip(m.idx, 0, uv_b.shape[0] - 1)]
     mvalid = m.valid
 
-    # --- RANSAC over fundamental matrices -----------------------------
+    # --- RANSAC over ESSENTIAL matrices (K is known) -------------------
+    # Work in normalized camera coords; Sampson threshold scales by the
+    # focal lengths (3.841 px^2 at sigma = 1 px).
+    fx, fy = K[0, 0], K[1, 1]
+    Kinv = jnp.linalg.inv(K)
+    def norm_pts(x):
+        h = jnp.concatenate([x, jnp.ones_like(x[:, :1])], -1) @ Kinv.T
+        return h[:, :2]
+    x1n = norm_pts(x1)
+    x2n = norm_pts(x2)
+    th2 = 3.841 / (fx * fy)
+
     idx = _sample_minimal_sets(key, mvalid, cfg.init_ransac_iters, 8)
-    s1 = x1[idx]                                       # (n_hyp, 8, 2)
-    s2 = x2[idx]
-    Fs = jax.vmap(eight_point_fundamental)(s1, s2)     # (n_hyp, 3, 3)
-    errs = jax.vmap(lambda F: sampson_error(F, x1, x2))(Fs)  # (n_hyp, N)
-    th2 = 3.841                                         # chi2 1-dof 95%, sigma=1px
+    Es = jax.vmap(eight_point_essential)(x1n[idx], x2n[idx])
+    errs = jax.vmap(lambda E: sampson_error(E, x1n, x2n))(Es)  # (n_hyp, N)
     inl = (errs < th2) & mvalid[None, :]
     scores = jnp.sum(inl, axis=1)
-    best = jnp.argmax(scores)
-    f_inl = inl[best]
-    # Weighted refit on all inliers of the winning hypothesis (the
-    # "refine with all inliers" step of classic RANSAC) — two passes.
-    F = eight_point_fundamental(x1, x2, weights=f_inl.astype(x1.dtype))
-    f_inl = (sampson_error(F, x1, x2) < th2) & mvalid
-    F = eight_point_fundamental(x1, x2, weights=f_inl.astype(x1.dtype))
-    f_inl = (sampson_error(F, x1, x2) < th2) & mvalid
 
-    # --- Essential decomposition + cheirality -------------------------
-    E = K.T @ F @ K
-    Rs, ts = _decompose_essential(E)
-    reproj_th2 = 4.0 * th2
+    # Repeated texture can give a *phantom* match-consensus with nearly
+    # the Sampson support of the true one; only cheirality separates
+    # them. And a refit on a Sampson-contaminated inlier set drags E off
+    # the true geometry. So the selection is cheirality-first:
+    # decompose each top-J MINIMAL-SAMPLE E (fit from 8 points only),
+    # count triangulation-verified points, and only then refit E on the
+    # cheirality-verified set of the winner (phantoms cannot pass the
+    # true motion's triangulation gates).
+    TOP_J = 16
+    _, top_h = jax.lax.top_k(scores, TOP_J)
+
+    reproj_th2 = 4.0 * 3.841                            # px^2 (pixel space)
     min_parallax_cos = 0.99998                          # ~0.36 deg per point
-    Xs, goods, cos_pars = jax.vmap(
-        lambda R, t: _score_motion(R, t, K, x1, x2, f_inl, reproj_th2,
-                                   min_parallax_cos))(Rs, ts)
-    counts = jnp.sum(goods, axis=1)                     # (4,)
-    bi = jnp.argmax(counts)
-    n_good = counts[bi]
-    sorted_counts = jnp.sort(counts)
-    second = sorted_counts[2]
 
-    R, t = Rs[bi], ts[bi]
-    X, point_ok = Xs[bi], goods[bi]
+    def score_E(E, support):
+        Rs, ts = _decompose_essential(E)
+        Xs, goods, cps = jax.vmap(
+            lambda R, t: _score_motion(R, t, K, x1, x2, support,
+                                       reproj_th2, min_parallax_cos))(Rs, ts)
+        return Rs, ts, Xs, goods, cps
+
+    Rs_j, ts_j, Xs_j, goods_j, cps_j = jax.vmap(
+        lambda h: score_E(Es[h], inl[h]))(top_h)         # (J,4,...)
+    counts_j = jnp.sum(goods_j, axis=2)                  # (J,4)
+    bi_flat = jnp.argmax(counts_j.reshape(-1))
+    jH = bi_flat // 4
+
+    # Refit on the winner's cheirality-verified set, then re-score over
+    # the full match set.
+    seed_good = goods_j.reshape(TOP_J * 4, -1)[bi_flat]
+    E = eight_point_essential(x1n, x2n, weights=seed_good.astype(x1.dtype))
+    f_inl = (sampson_error(E, x1n, x2n) < th2) & mvalid
+    Rs4, ts4, Xs4, goods4, cps4 = score_E(E, f_inl)
+    counts4 = jnp.sum(goods4, axis=1)                    # (4,)
+    bi = jnp.argmax(counts4)
+    n_good = counts4[bi]
+    second = jnp.sort(counts4)[2]
+
+    R, t = Rs4[bi], ts4[bi]
+    X, point_ok = Xs4[bi], goods4[bi]
+    cos_pars = cps4
 
     # Median parallax of accepted points: initializing from a
     # too-small baseline bakes in garbage depths (ORB-SLAM's

@@ -128,6 +128,14 @@ class System:
                 m, R, t, frame, match_idx, match_inlier, self._K, tr)
         self._insert_kf_step = jax.jit(_insert_kf_step)
 
+        def _reloc_step(m: MapState, frame: Frame, key):
+            from send_slam_tpu.models.relocalize import relocalize
+            return relocalize(
+                m.lm_pos, m.lm_desc, m.lm_valid,
+                frame.uv_und, frame.feat.desc, frame.feat.valid,
+                self._K, key, tr)
+        self._reloc_step = jax.jit(_reloc_step)
+
         def _local_ba_step(m: MapState):
             m = local_bundle_adjustment(m, self._K, config.map)
             return prune_zero_obs_landmarks(m)
@@ -169,9 +177,7 @@ class System:
         elif self.state in (TRACKING_OK, TRACKING_RECENTLY_LOST):
             self._track(frame, timestamp)
         elif self.state == TRACKING_LOST:
-            # Round-1 recovery: wide-window re-track; full PnP
-            # relocalization lives in models/relocalize.py (round 2).
-            self._track(frame, timestamp, wide=True)
+            self._relocalize(frame, timestamp)
 
         if self.state == TRACKING_OK:
             pos, quat = self._twc()
@@ -251,6 +257,20 @@ class System:
 
         if self._need_keyframe(n_inl):
             self._insert_keyframe(frame, res)
+
+    def _relocalize(self, frame: Frame, timestamp: float) -> None:
+        """PnP-RANSAC pose recovery against the whole landmark table
+        (Tracking::Relocalization). On success, resume normal tracking
+        from the recovered pose."""
+        self._key, sub = jax.random.split(self._key)
+        res = self._reloc_step(self.map, frame, sub)
+        if bool(res.ok):
+            self._R, self._t = res.R, res.t
+            self._vel = None
+            self.state = TRACKING_OK
+            self._last_inliers = int(res.n_inliers)
+            self._lost_frames = 0
+            self._frames_since_kf += 1
 
     def _need_keyframe(self, n_inl: int) -> bool:
         cfg = self.cfg

@@ -1,0 +1,80 @@
+"""In-process SLAM engine worker: frames in, poses out.
+
+This replaces the reference's whole frame->TCP->docker->TCP->pose loop
+(SURVEY.md §3.2) with a direct library call: CAMERA bus events are
+grayscale-converted, tracked by models.system.System in a worker thread
+(JAX dispatch must not block the event loop), and resulting poses are
+published on the POSE topic as reference-format pose packets
+(orbslam3_mono_networked.cc:225-282).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from send_slam_tpu.config import EngineConfig
+from send_slam_tpu.io.ppm import rgb_to_gray_u8
+from send_slam_tpu.io.protocol import TRACKING_OK, build_pose_packet
+from send_slam_tpu.models.system import System
+from send_slam_tpu.server import bus as topics
+from send_slam_tpu.server.bus import Bus
+from send_slam_tpu.server.producers import FrameEvent
+
+log = logging.getLogger(__name__)
+
+
+class EngineWorker:
+    """Consumes CAMERA frames, tracks, publishes POSE packets."""
+
+    def __init__(self, bus: Bus, config: EngineConfig):
+        self.bus = bus
+        self.config = config
+        self.system = System(config)
+        self._stop = asyncio.Event()
+        self.frames_in = 0
+        self.frames_tracked = 0
+        self.track_times = []
+
+    def stop(self) -> None:
+        self._stop.set()
+
+    async def run(self) -> None:
+        loop = asyncio.get_running_loop()
+        q = self.bus.subscribe(topics.CAMERA)
+        try:
+            while not self._stop.is_set():
+                try:
+                    ev: FrameEvent = await asyncio.wait_for(q.get(), 0.5)
+                except asyncio.TimeoutError:
+                    continue
+                gray = rgb_to_gray_u8(ev.frame) if ev.frame.ndim == 3 \
+                    else ev.frame
+                t0 = time.perf_counter()
+                out = await loop.run_in_executor(
+                    None, self.system.track_monocular,
+                    gray.astype(np.float32), ev.timestamp)
+                self.track_times.append(time.perf_counter() - t0)
+                self.frames_in += 1
+                if out.tracking_state == TRACKING_OK:
+                    self.frames_tracked += 1
+                    pkt = build_pose_packet(
+                        ev.timestamp, ev.camera_id, out.tracking_state,
+                        out.position, out.orientation)
+                    self.bus.publish(topics.POSE, pkt)
+        finally:
+            self.bus.unsubscribe(topics.CAMERA, q)
+
+    def stats(self) -> dict:
+        """Shutdown stats like the reference backend (…cc:656-664)."""
+        tt = sorted(self.track_times)
+        return {
+            "frames": self.frames_in,
+            "tracked": self.frames_tracked,
+            "median_track_s": tt[len(tt) // 2] if tt else None,
+            "mean_track_s": sum(tt) / len(tt) if tt else None,
+        }

@@ -20,6 +20,12 @@ class SyntheticWorld:
             [-6, -4.5, near], [6, 4.5, far], size=(n_points, 3))
         self.intensity = rng.uniform(60, 255, size=n_points)
         self.size_at_1m = rng.uniform(8, 16, size=n_points)
+        # Per-blob shading direction: a linear intensity ramp across
+        # each square makes blobs individually distinctive (uniform
+        # identical squares alias ORB descriptors in a way real-world
+        # texture does not, creating phantom match consensus).
+        ang = rng.uniform(0, 2 * np.pi, size=n_points)
+        self.grad_dir = np.stack([np.cos(ang), np.sin(ang)], -1)
 
     def K(self):
         return np.array([[self.fx, 0, self.cx],
@@ -57,8 +63,14 @@ class SyntheticWorld:
             cov_x = np.clip(np.minimum(xs + 1, hx) - np.maximum(xs, lx), 0, 1)
             cov_y = np.clip(np.minimum(ys + 1, hy) - np.maximum(ys, ly), 0, 1)
             cov = cov_y[:, None] * cov_x[None, :]
+            # Linear shading ramp across the blob (see __init__).
+            gx, gy = self.grad_dir[i]
+            rx = (xs[None, :] + 0.5 - u) / s
+            ry = (ys[:, None] + 0.5 - v) / s
+            ramp = np.clip(0.5 + gx * rx + gy * ry, 0.0, 1.0)
+            shade = self.intensity[i] * (0.55 + 0.65 * ramp)
             patch = img[y0c:y1c, x0c:x1c]
-            img[y0c:y1c, x0c:x1c] = (1 - cov) * patch + cov * self.intensity[i]
+            img[y0c:y1c, x0c:x1c] = (1 - cov) * patch + cov * np.clip(shade, 0, 255)
         return np.clip(img, 0, 255).astype(np.float32)
 
     def trajectory(self, n_frames=40, fps=30.0):

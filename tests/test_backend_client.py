@@ -1,0 +1,85 @@
+"""Backend-role protocol test: the TPU engine as a drop-in replacement
+for the reference's dockerized backend — it must consume
+calibration/frame/terminate packets from a host and emit pose packets.
+Uses a tiny engine config and a synthetic-world sequence so tracking
+actually initializes and poses flow back."""
+
+import asyncio
+
+import numpy as np
+
+from send_slam_tpu.config import (
+    CameraConfig, EngineConfig, MapConfig, OrbConfig, TrackingConfig,
+)
+from send_slam_tpu.io.ppm import encode_ppm
+from send_slam_tpu.io.protocol import (
+    PacketDecoder, build_calibration_packet, build_frame_packet,
+    build_terminate_packet, frame_packet_bytes,
+)
+from send_slam_tpu.server.backend_client import BackendClient
+from send_slam_tpu.utils.synth import SyntheticWorld
+
+
+def test_backend_client_roundtrip():
+    world = SyntheticWorld(n_points=600)
+
+    def cfg_factory(pkt):
+        cam = pkt["camera"]
+        return EngineConfig(
+            orb=OrbConfig(n_features=512, n_levels=4),
+            camera=CameraConfig(
+                width=int(cam["width"]), height=int(cam["height"]),
+                fx=float(cam["fx"]), fy=float(cam["fy"]),
+                cx=float(cam["cx"]), cy=float(cam["cy"])),
+            map=MapConfig(max_keyframes=16, max_landmarks=1024, ba_window=4),
+            tracking=TrackingConfig(init_min_matches=50),
+        )
+
+    received_poses = []
+
+    async def host(reader, writer):
+        # Send calibration then a short sequence of frames.
+        writer.write(frame_packet_bytes(build_calibration_packet(
+            0, 0.0, world.W, world.H, world.fx, world.fy,
+            world.cx, world.cy)))
+        ts, Rs, tls = world.trajectory(n_frames=20)
+        for k in range(len(ts)):
+            img = world.render(Rs[k], tls[k]).astype(np.uint8)
+            rgb = np.repeat(img[..., None], 3, axis=2)
+            writer.write(frame_packet_bytes(build_frame_packet(
+                0, float(ts[k]), world.W, world.H, encode_ppm(rgb))))
+        await writer.drain()
+
+        # Collect poses until the client has chewed the frames.
+        dec = PacketDecoder()
+        try:
+            while True:
+                data = await asyncio.wait_for(reader.read(65536), 90)
+                if not data:
+                    break
+                for pkt in dec.feed(data):
+                    if pkt.get("type") == "pose":
+                        received_poses.append(pkt)
+                if received_poses:
+                    # At least one pose proves the path; terminate.
+                    writer.write(frame_packet_bytes(build_terminate_packet()))
+                    await writer.drain()
+                    return
+        except asyncio.TimeoutError:
+            pass
+
+    async def go():
+        server = await asyncio.start_server(host, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        client = BackendClient("127.0.0.1", port, config_factory=cfg_factory)
+        await asyncio.wait_for(client.run(), 300)
+        server.close()
+        await server.wait_closed()
+        assert client.frames_seen >= 10
+        assert received_poses, "no pose packets came back"
+        p = received_poses[0]
+        assert set(p["position"]) == {"x", "y", "z"}
+        assert set(p["orientation"]) == {"x", "y", "z", "w"}
+        assert p["tracking_state"] == 2
+
+    asyncio.run(go())
