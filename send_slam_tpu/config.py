@@ -107,6 +107,10 @@ class TrackingConfig:
     init_ransac_iters: int = 512
     init_min_matches: int = 60
     init_min_parallax_deg: float = 0.8
+    # Loop closing
+    loop_min_gap_kf: int = 20       # candidate must be this many KFs old
+    loop_score_min: float = 0.35    # retrieval cosine threshold
+    loop_min_matches: int = 20      # verified 3D-3D matches required
 
 
 @dataclasses.dataclass(frozen=True)

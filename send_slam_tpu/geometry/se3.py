@@ -43,7 +43,8 @@ def _sinc(x):
 
 def so3_exp(phi):
     """(…,3) axis-angle -> (…,3,3) rotation (Rodrigues)."""
-    theta = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    # sqrt(sum+tiny): norm() has a NaN forward-mode tangent at 0.
+    theta = jnp.sqrt(jnp.sum(phi * phi, -1, keepdims=True) + 1e-24)
     theta = theta[..., None]                      # (…,1,1)
     K = hat(phi)
     K2 = K @ K
@@ -55,9 +56,15 @@ def so3_exp(phi):
 
 
 def so3_log(R):
-    """(…,3,3) rotation -> (…,3) axis-angle. Stable near 0 and pi."""
+    """(…,3,3) rotation -> (…,3) axis-angle. Stable near 0 and pi.
+
+    Jacobian-safe: arccos input is clipped strictly inside (-1, 1) so
+    autodiff (jacfwd in the pose-graph optimizer) never sees the
+    infinite arccos derivative at the identity; the value error this
+    introduces (theta floor ~5e-4) vanishes through the sinc division.
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
+    cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0 + 1e-7, 1.0 - 1e-7)
     theta = jnp.arccos(cos_t)                     # (…,)
     w = vee(R - jnp.swapaxes(R, -1, -2)) * 0.5    # sin(theta) * axis
     # Near 0: log ≈ w.  Generic: theta / sin(theta) * w.
@@ -66,7 +73,7 @@ def so3_log(R):
     # Near pi: axis from diagonal of (R + I)/2 = aa^T style.
     near_pi = theta[..., None] > (jnp.pi - 1e-3)
     diag = jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], -1)
-    axis_sq = jnp.maximum((diag + 1.0) * 0.5, 0.0)
+    axis_sq = jnp.maximum((diag + 1.0) * 0.5, 1e-12)  # floor: sqrt'(0)=inf
     axis = jnp.sqrt(axis_sq)
     # Fix axis signs from off-diagonals (largest component positive).
     sign_ref = jnp.argmax(axis_sq, axis=-1)
@@ -97,7 +104,7 @@ def so3_log(R):
 
 def _left_jacobian(phi):
     """SO(3) left Jacobian V(phi) used in se3_exp: t = V @ rho."""
-    theta = jnp.linalg.norm(phi, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.sum(phi * phi, -1) + 1e-24)[..., None, None]
     K = hat(phi)
     K2 = K @ K
     t2 = theta * theta
@@ -109,7 +116,7 @@ def _left_jacobian(phi):
 
 
 def _left_jacobian_inv(phi):
-    theta = jnp.linalg.norm(phi, axis=-1)[..., None, None]
+    theta = jnp.sqrt(jnp.sum(phi * phi, -1) + 1e-24)[..., None, None]
     K = hat(phi)
     K2 = K @ K
     t2 = theta * theta

@@ -35,7 +35,7 @@ def _sim3_W(phi, sigma):
 
     W = A*I + B*K + C*K^2 with coefficients depending on (theta, sigma)
     (Strasdat's thesis, eq. for sim3 exp)."""
-    theta = jnp.linalg.norm(phi, axis=-1)
+    theta = jnp.sqrt(jnp.sum(phi * phi, -1) + 1e-24)
     K = hat(phi)
     K2 = K @ K
     s = jnp.exp(sigma)

@@ -1,0 +1,135 @@
+"""Loop closing: retrieval -> Sim(3) verification -> pose-graph
+correction.
+
+TPU-native re-design of ORB-SLAM3's LoopClosing thread
+(CMakeLists.txt:51): DBoW2 candidate lookup becomes one signature
+matvec (models/retrieval.py), geometric verification is a batched
+3-D/3-D Sim(3) RANSAC over co-observed landmarks (models/sim3_solver),
+and the essential-graph correction is the dense Sim(3) pose-graph GN
+(models/pose_graph.py). Host code (the System) only reads two scalars
+per keyframe (candidate score, verification ok) to decide whether to
+dispatch the correction step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from send_slam_tpu.config import TrackingConfig
+from send_slam_tpu.models.map_state import MapState
+from send_slam_tpu.models.pose_graph import (
+    PoseGraphEdges, build_sequential_edges, concat_edges,
+    optimize_pose_graph,
+)
+from send_slam_tpu.models.retrieval import retrieval_scores
+from send_slam_tpu.models.sim3_solver import Sim3Result, sim3_ransac
+from send_slam_tpu.ops.hamming import match_descriptors
+
+
+def loop_candidate(
+    m: MapState, kf_id: jnp.ndarray, min_gap: int = 20,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Best retrieval candidate for keyframe kf_id, excluding temporal
+    neighbours. Returns (cand_id, score)."""
+    query = m.kf_signature[kf_id]
+    scores = retrieval_scores(m.kf_signature, query)      # (MK,)
+    ids = jnp.arange(m.max_keyframes)
+    ok = m.kf_valid & (jnp.abs(ids - kf_id) >= min_gap)
+    scores = jnp.where(ok, scores, -1.0)
+    cand = jnp.argmax(scores).astype(jnp.int32)
+    return cand, scores[cand]
+
+
+class LoopSim3(NamedTuple):
+    ok: jnp.ndarray
+    n_matches: jnp.ndarray
+    sim3: Sim3Result          # S_ca: cand-camera-frame from kf-camera-frame
+
+
+def compute_loop_sim3(
+    m: MapState, kf_id: jnp.ndarray, cand_id: jnp.ndarray,
+    key: jnp.ndarray, cfg: TrackingConfig,
+    min_matches: int = 20,
+) -> LoopSim3:
+    """Verify a loop candidate: descriptor-match the two keyframes'
+    keypoints, take pairs where both sides observe a landmark, and
+    solve the camera-frame Sim(3) between the two landmark clouds."""
+    desc_a = m.kf_desc[kf_id]
+    desc_c = m.kf_desc[cand_id]
+    valid_a = m.kf_kp_valid[kf_id] & (m.kf_obs_lm[kf_id] >= 0)
+    valid_c = m.kf_kp_valid[cand_id] & (m.kf_obs_lm[cand_id] >= 0)
+
+    match = match_descriptors(desc_a, desc_c, valid_a, valid_c,
+                              max_dist=float(cfg.hamming_th_low),
+                              ratio=0.75, mutual=True)
+    N = desc_a.shape[0]
+    idx_c = jnp.clip(match.idx, 0, N - 1)
+    lm_a = m.kf_obs_lm[kf_id]
+    lm_c = m.kf_obs_lm[cand_id][idx_c]
+    pair_ok = match.valid & (lm_a >= 0) & (lm_c >= 0)
+
+    ML = m.max_landmarks
+    Xa = m.lm_pos[jnp.clip(lm_a, 0, ML - 1)]
+    Xc = m.lm_pos[jnp.clip(lm_c, 0, ML - 1)]
+
+    # Into the two camera frames (drift means the world-frame positions
+    # of the "same" landmarks disagree; the camera-frame clouds align
+    # under the loop Sim3).
+    pa = Xa @ m.kf_R[kf_id].T + m.kf_t[kf_id]
+    pc = Xc @ m.kf_R[cand_id].T + m.kf_t[cand_id]
+
+    res = sim3_ransac(pa, pc, pair_ok, key)
+    n_matches = jnp.sum(pair_ok)
+    ok = res.ok & (n_matches >= min_matches)
+    return LoopSim3(ok=ok, n_matches=n_matches, sim3=res)
+
+
+def apply_loop_correction(
+    m: MapState, kf_id: jnp.ndarray, cand_id: jnp.ndarray,
+    loop: LoopSim3,
+    pgo_iters: int = 15,
+) -> MapState:
+    """Insert the loop edge, run Sim(3) PGO, write back corrected SE3
+    keyframe poses and landmark positions.
+
+    Edge convention (pose_graph.py): edge (i=kf_id, j=cand_id) measures
+    S_ji = S_ca (cand-frame from kf-frame), which the verified Sim3
+    provides directly."""
+    MK = m.max_keyframes
+    loop_edge = PoseGraphEdges(
+        i=kf_id[None].astype(jnp.int32),
+        j=cand_id[None].astype(jnp.int32),
+        s=loop.sim3.s[None],
+        R=loop.sim3.R[None],
+        t=loop.sim3.t[None],
+        valid=loop.ok[None],
+        weight=jnp.asarray([5.0]),
+    )
+    edges = concat_edges(
+        build_sequential_edges(m.kf_R, m.kf_t, m.kf_valid, m.n_kf),
+        loop_edge)
+    s_new, R_new, t_new = optimize_pose_graph(
+        m.kf_R, m.kf_t, m.kf_valid, edges, iters=pgo_iters)
+
+    # Corrected SE3 poses: fold scale into translation, [R | t/s].
+    t_se3 = t_new / jnp.maximum(s_new[:, None], 1e-9)
+
+    # Landmark correction: X' = S_new_rw^-1( S_old_rw(X) ), with the
+    # old pose at scale 1 and the ref keyframe r = lm_ref_kf.
+    ref = jnp.clip(m.lm_ref_kf, 0, MK - 1)
+    R_old = m.kf_R[ref]
+    t_old = m.kf_t[ref]
+    p_cam = jnp.einsum('lij,lj->li', R_old, m.lm_pos) + t_old
+    s_r = s_new[ref]
+    R_r = R_new[ref]
+    t_r = t_new[ref]
+    # S^-1: x -> (1/s) R^T (x - t)
+    X_new = jnp.einsum('lji,lj->li', R_r, p_cam - t_r) / \
+        jnp.maximum(s_r[:, None], 1e-9)
+    X_new = jnp.where((m.lm_valid & (m.lm_ref_kf >= 0))[:, None],
+                      X_new, m.lm_pos)
+
+    return m._replace(kf_R=R_new, kf_t=t_se3, lm_pos=X_new)

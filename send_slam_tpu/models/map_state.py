@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from send_slam_tpu.config import MapConfig
+from send_slam_tpu.models.retrieval import N_BUCKETS, frame_signature
 
 
 class MapState(NamedTuple):
@@ -38,6 +39,7 @@ class MapState(NamedTuple):
     kf_octave: jnp.ndarray    # (MK,N) int32
     kf_kp_valid: jnp.ndarray  # (MK,N) bool
     kf_obs_lm: jnp.ndarray    # (MK,N) int32 — landmark id or -1
+    kf_signature: jnp.ndarray  # (MK,B) f32 — retrieval signature
     # --- landmarks -----------------------------------------------------
     lm_pos: jnp.ndarray       # (ML,3)
     lm_desc: jnp.ndarray      # (ML,8) uint32
@@ -76,6 +78,7 @@ def empty_map(cfg: MapConfig, n_keypoints: int, dtype=jnp.float32) -> MapState:
         kf_octave=jnp.zeros((MK, N), jnp.int32),
         kf_kp_valid=jnp.zeros((MK, N), bool),
         kf_obs_lm=jnp.full((MK, N), -1, jnp.int32),
+        kf_signature=jnp.zeros((MK, N_BUCKETS), jnp.float32),
         lm_pos=jnp.zeros((ML, 3), dtype),
         lm_desc=jnp.zeros((ML, 8), jnp.uint32),
         lm_valid=jnp.zeros((ML,), bool),
@@ -107,6 +110,8 @@ def insert_keyframe(
         kf_octave=m.kf_octave.at[i].set(kp_octave),
         kf_kp_valid=m.kf_kp_valid.at[i].set(kp_valid),
         kf_obs_lm=m.kf_obs_lm.at[i].set(obs_lm),
+        kf_signature=m.kf_signature.at[i].set(
+            frame_signature(kp_desc, kp_valid)),
         n_kf=m.n_kf + 1,
     )
     return m, i

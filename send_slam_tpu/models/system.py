@@ -141,6 +141,17 @@ class System:
             return prune_zero_obs_landmarks(m)
         self._local_ba_step = jax.jit(_local_ba_step)
 
+        from send_slam_tpu.models.loop_closing import (
+            apply_loop_correction, compute_loop_sim3, loop_candidate,
+        )
+        self._loop_candidate = jax.jit(
+            lambda m, kf_id: loop_candidate(m, kf_id, tr.loop_min_gap_kf))
+        self._loop_sim3 = jax.jit(
+            lambda m, kf, cand, key: compute_loop_sim3(
+                m, kf, cand, key, tr, min_matches=tr.loop_min_matches))
+        self._loop_apply = jax.jit(apply_loop_correction)
+        self.loops_closed = 0
+
         self.reset()
 
     # ------------------------------------------------------------------
@@ -287,6 +298,19 @@ class System:
             self.map, self._R, self._t, frame,
             track_res.matches.idx, track_res.matches.valid & track_res.inlier)
         self.map = self._local_ba_step(self.map)
+
+        # Loop closing at keyframe rate: 2 scalar reads decide whether
+        # the (expensive, rare) verification/correction steps dispatch.
+        tr = self.cfg.tracking
+        if int(kf_id) >= tr.loop_min_gap_kf:
+            cand, score = self._loop_candidate(self.map, kf_id)
+            if float(score) > tr.loop_score_min:
+                self._key, sub = jax.random.split(self._key)
+                loop = self._loop_sim3(self.map, kf_id, cand, sub)
+                if bool(loop.ok):
+                    self.map = self._loop_apply(self.map, kf_id, cand, loop)
+                    self.loops_closed += 1
+
         # Refresh the current pose from the BA-adjusted keyframe.
         self._R = self.map.kf_R[kf_id]
         self._t = self.map.kf_t[kf_id]
