@@ -62,12 +62,12 @@ def relocalize(
     key: jnp.ndarray,
     cfg: TrackingConfig,
     n_hyp: int = 256,
-    min_inliers: int = 20,
+    min_inliers: int = 15,
 ) -> RelocResult:
     """Pose recovery without a prior. All shapes static; jittable."""
     m = match_descriptors(lm_desc, kp_desc, lm_valid, kp_valid,
                           max_dist=float(cfg.hamming_th_low),
-                          ratio=0.75, mutual=True)
+                          ratio=0.9, mutual=True)
     N = lm_pos.shape[0]
     uv = kp_uv[jnp.clip(m.idx, 0, kp_uv.shape[0] - 1)]
     fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]

@@ -129,11 +129,24 @@ class System:
         self._insert_kf_step = jax.jit(_insert_kf_step)
 
         def _reloc_step(m: MapState, frame: Frame, key):
-            from send_slam_tpu.models.relocalize import relocalize
-            return relocalize(
+            """Retrieval-guided relocalization (the candidate-keyframe
+            structure of Tracking::Relocalization): the best keyframe by
+            signature provides the pose prior, then the standard
+            two-pass track step runs with a wide search window. The
+            prior-free PnP RANSAC (models/relocalize.py) remains
+            available for kidnapped-robot cases with no retrieval hit."""
+            from send_slam_tpu.models.retrieval import frame_signature
+            sig = frame_signature(frame.feat.desc, frame.feat.valid)
+            scores = jnp.where(m.kf_valid, m.kf_signature @ sig, -1.0)
+            best = jnp.argmax(scores)
+            res = track_frame(
+                m.kf_R[best], m.kf_t[best],
                 m.lm_pos, m.lm_desc, m.lm_valid,
                 frame.uv_und, frame.feat.desc, frame.feat.valid,
-                self._K, key, tr)
+                frame.feat.octave,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+                tr, scale_factor=orb.scale_factor, search_radius=64.0)
+            return res, scores[best]
         self._reloc_step = jax.jit(_reloc_step)
 
         def _local_ba_step(m: MapState):
@@ -270,12 +283,12 @@ class System:
             self._insert_keyframe(frame, res)
 
     def _relocalize(self, frame: Frame, timestamp: float) -> None:
-        """PnP-RANSAC pose recovery against the whole landmark table
-        (Tracking::Relocalization). On success, resume normal tracking
+        """Pose recovery against the map (Tracking::Relocalization):
+        retrieval-guided re-track. On success, resume normal tracking
         from the recovered pose."""
         self._key, sub = jax.random.split(self._key)
-        res = self._reloc_step(self.map, frame, sub)
-        if bool(res.ok):
+        res, score = self._reloc_step(self.map, frame, sub)
+        if int(res.n_inliers) >= self.cfg.tracking.min_track_matches:
             self._R, self._t = res.R, res.t
             self._vel = None
             self.state = TRACKING_OK
@@ -343,6 +356,23 @@ class System:
 
     def trajectory(self) -> List[Tuple[float, np.ndarray, np.ndarray]]:
         return list(self._trajectory)
+
+    def save_map(self, path: Optional[str] = None) -> str:
+        """Checkpoint the map (the ORBSLAM3_MAP_PATH promise the
+        reference plumbs but never uses — SURVEY.md §5)."""
+        from send_slam_tpu.io.map_io import save_map
+        return save_map(self.map, path)
+
+    def load_map(self, path: Optional[str] = None) -> None:
+        """Resume from a checkpoint: tracking restarts by PnP
+        relocalization against the loaded landmarks (multi-session
+        mapping, BASELINE.json config 5)."""
+        from send_slam_tpu.io.map_io import load_map
+        self.map = load_map(path)
+        self.state = TRACKING_LOST
+        self._ref_frame = None
+        self._vel = None
+        self._lost_frames = 0
 
     def shutdown(self) -> None:
         pass
