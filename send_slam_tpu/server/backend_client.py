@@ -19,7 +19,7 @@ from typing import Optional
 import numpy as np
 
 from send_slam_tpu.config import CameraConfig, EngineConfig
-from send_slam_tpu.io.ppm import decode_ppm, rgb_to_gray_u8
+from send_slam_tpu.io.ppm import rgb_to_gray_u8
 from send_slam_tpu.io.protocol import (
     PacketDecoder, TRACKING_OK, build_pose_packet, frame_packet_bytes,
 )
@@ -36,7 +36,12 @@ def _decode_frame(pkt: dict) -> Optional[np.ndarray]:
         return None
     enc = pkt.get("encoding", "ppm")
     if enc == "ppm":
-        img = decode_ppm(data)
+        # Fused native decode+luma when the hostio library is built.
+        from send_slam_tpu.io import native
+        try:
+            return native.decode_ppm_gray(data)
+        except ValueError:
+            return None
     else:
         # JPEG/PNG fallback via cv2 (the reference backend uses
         # cv::imdecode IMREAD_UNCHANGED for the same reason, …cc:546).

@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 
 from send_slam_tpu.config import EngineConfig
-from send_slam_tpu.io.ppm import rgb_to_gray_u8
+from send_slam_tpu.io.native import rgb_to_gray as rgb_to_gray_u8
 from send_slam_tpu.io.protocol import TRACKING_OK, build_pose_packet
 from send_slam_tpu.models.system import System
 from send_slam_tpu.server import bus as topics

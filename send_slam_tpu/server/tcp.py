@@ -17,7 +17,7 @@ import logging
 import time
 from typing import Any, Dict, Optional
 
-from send_slam_tpu.io.ppm import encode_ppm
+from send_slam_tpu.io.native import encode_ppm
 from send_slam_tpu.io.protocol import (
     PacketDecoder, build_calibration_packet, build_frame_packet,
     frame_packet_bytes,
