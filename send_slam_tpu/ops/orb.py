@@ -33,6 +33,23 @@ from send_slam_tpu.config import OrbConfig
 from send_slam_tpu.ops.fast import fast_score_map, nms3x3
 from send_slam_tpu.ops.pyramid import build_pyramid, gaussian_blur
 
+
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return "tpu" in jax.devices()[0].platform.lower() or \
+            "tpu" in str(jax.devices()[0].device_kind).lower()
+    except Exception:
+        return False
+
+
+def _fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """Dispatch: fused Pallas kernel on TPU, jnp reference elsewhere."""
+    if _on_tpu():
+        from send_slam_tpu.ops.pallas.fast_kernel import fast_score_map_pallas
+        return fast_score_map_pallas(img, threshold)
+    return fast_score_map(img, threshold)
+
 PATCH_R = 15           # orientation patch radius (31x31)
 DESC_R = 16            # descriptor gather radius (33x33)
 DESC_PATCH = 2 * DESC_R + 1
@@ -237,8 +254,11 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
     parts: List[FrameFeatures] = []
     for lvl, (level_img, n_lvl) in enumerate(zip(levels, budgets)):
         H, W = level_img.shape
-        s_hi = nms3x3(fast_score_map(level_img, float(cfg.ini_th_fast)))
-        s_lo = nms3x3(fast_score_map(level_img, float(cfg.min_th_fast)))
+        # One FAST pass: the score equals the largest threshold at
+        # which the arc-9 test still passes, so the iniThFAST map is a
+        # re-threshold of the minThFAST map (corner(t) <=> score > t).
+        s_lo = nms3x3(_fast_score(level_img, float(cfg.min_th_fast)))
+        s_hi = jnp.where(s_lo > float(cfg.ini_th_fast), s_lo, 0.0)
 
         # Border mask: the ORB edge_threshold margin guarantees the
         # orientation/descriptor patches stay in bounds.

@@ -1,0 +1,38 @@
+"""Pallas kernels vs their jnp oracles (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from send_slam_tpu.ops.fast import fast_score_map
+from send_slam_tpu.ops.pallas.fast_kernel import fast_score_map_pallas
+
+
+def texture(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(80):
+        y, x = rng.integers(0, h - 12), rng.integers(0, w - 12)
+        img[y:y + rng.integers(3, 10), x:x + rng.integers(3, 10)] = \
+            rng.uniform(40, 250)
+    return img
+
+
+class TestFastKernel:
+    def test_matches_jnp_reference(self):
+        img = texture(120, 160)
+        ref = np.asarray(fast_score_map(jnp.asarray(img), 20.0))
+        got = np.asarray(fast_score_map_pallas(
+            jnp.asarray(img), 20.0, interpret=True))
+        # Interior only: the reference pads with edge mode from the
+        # true border; the kernel's tile halos see identical values.
+        np.testing.assert_allclose(got[4:-4, 4:-4], ref[4:-4, 4:-4],
+                                   atol=1e-5)
+
+    def test_ragged_height(self):
+        img = texture(100, 128)  # 100 not divisible by tile height
+        ref = np.asarray(fast_score_map(jnp.asarray(img), 12.0))
+        got = np.asarray(fast_score_map_pallas(
+            jnp.asarray(img), 12.0, interpret=True))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got[4:-4, 4:-4], ref[4:-4, 4:-4],
+                                   atol=1e-5)
