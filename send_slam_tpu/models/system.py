@@ -98,6 +98,23 @@ class System:
         self._track_step = jax.jit(_track_step, static_argnames=("radius",))
         self._update_stats = jax.jit(update_landmark_stats)
 
+        def _frame_step(m: MapState, R_pred, t_pred, img, ts, radius):
+            """The fused per-frame hot path: ORB extraction -> two-pass
+            tracking -> landmark statistics, ONE dispatch (the remote-
+            device round-trip cost makes call fusion matter as much as
+            kernel fusion)."""
+            frame = make_frame(img, ts, orb, cam)
+            res = track_frame(
+                R_pred, t_pred,
+                m.lm_pos, m.lm_desc, m.lm_valid,
+                frame.uv_und, frame.feat.desc, frame.feat.valid,
+                frame.feat.octave,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+                tr, scale_factor=orb.scale_factor, search_radius=radius)
+            m = update_landmark_stats(m, res.in_view, res.inlier)
+            return m, frame, res
+        self._frame_step = jax.jit(_frame_step, static_argnames=("radius",))
+
         def _bootstrap_map(m: MapState, fa: Frame, fb: Frame, init_res):
             """Create KF0 (identity) + KF1 (R,t) + initial landmarks."""
             N = fa.feat.capacity
@@ -194,13 +211,14 @@ class System:
         world-from-camera convention (Twc), like the reference backend
         sends (Twc = Tcw^-1, orbslam3_mono_networked.cc:246-249)."""
         img = jnp.asarray(gray, jnp.float32)
-        frame = self._make_frame(img, timestamp)
 
         if self.state in (TRACKING_NO_IMAGES_YET, TRACKING_NOT_INITIALIZED):
+            frame = self._make_frame(img, timestamp)
             self._try_initialize(frame, timestamp)
         elif self.state in (TRACKING_OK, TRACKING_RECENTLY_LOST):
-            self._track(frame, timestamp)
+            self._track(img, timestamp)
         elif self.state == TRACKING_LOST:
+            frame = self._make_frame(img, timestamp)
             self._relocalize(frame, timestamp)
 
         if self.state == TRACKING_OK:
@@ -241,34 +259,32 @@ class System:
             if timestamp - ts_ref > 1.0:
                 self._ref_frame = frame
 
-    def _track(self, frame: Frame, timestamp: float, wide: bool = False) -> None:
+    def _track(self, img: jnp.ndarray, timestamp: float) -> None:
         tr = self.cfg.tracking
         # Constant-velocity prediction.
-        if self._vel is not None and not wide:
+        if self._vel is not None:
             Rv, tv = self._vel
             R_pred, t_pred = se3_compose(Rv, tv, self._R, self._t)
         else:
             R_pred, t_pred = self._R, self._t
 
-        radius = 1e9 if wide else tr.search_radius_px
-        res = self._track_step(self.map, R_pred, t_pred, frame, radius)
+        new_map, frame, res = self._frame_step(
+            self.map, R_pred, t_pred, img, timestamp,
+            tr.search_radius_px)
         n_inl = int(res.n_inliers)
 
         if n_inl < tr.min_track_matches:
-            if not wide:
-                # Retry with a wide search window before declaring lost.
-                res = self._track_step(self.map, self._R, self._t, frame, 1e9)
-                n_inl = int(res.n_inliers)
+            # Retry with a wide search window before declaring lost
+            # (features already extracted — only the match+GN rerun).
+            res = self._track_step(self.map, self._R, self._t, frame, 1e9)
+            n_inl = int(res.n_inliers)
             if n_inl < tr.min_track_matches:
                 self._lost_frames += 1
                 self.state = (TRACKING_RECENTLY_LOST
                               if self._lost_frames <= 20 else TRACKING_LOST)
                 self._vel = None
                 return
-
-        # Landmark visibility statistics for culling.
-        self.map = self._update_stats(
-            self.map, res.in_view, res.inlier)
+        self.map = new_map
 
         # Motion model: T_vel = T_new ∘ T_old^-1.
         R_old_i, t_old_i = se3_inverse(self._R, self._t)

@@ -19,7 +19,9 @@ class SyntheticWorld:
         self.points = rng.uniform(
             [-6, -4.5, near], [6, 4.5, far], size=(n_points, 3))
         self.intensity = rng.uniform(60, 255, size=n_points)
-        self.size_at_1m = rng.uniform(8, 16, size=n_points)
+        # Blob angular size tracks the focal length so the rendered
+        # feature scale is resolution-independent.
+        self.size_at_1m = rng.uniform(8, 16, size=n_points) * (fx / 260.0)
         # Per-blob shading direction: a linear intensity ramp across
         # each square makes blobs individually distinctive (uniform
         # identical squares alias ORB descriptors in a way real-world
