@@ -6,9 +6,14 @@ run detection) and the arc-min score are computed in-register — the
 pure-jnp version (ops/fast.py) makes XLA materialize 16 shifted copies
 of the image (~17x HBM traffic); here every input byte moves once.
 
-Grid: row tiles of height TH with a 3-row halo, double-buffered DMA
-(pallas_guide.md pattern). The last tile handles the ragged remainder
-via edge padding baked into the input.
+Alignment discipline (Mosaic requires tile-aligned DMA slices for f32:
+(8, 128) tiles): row halo is 8 (>= the 3 the circle needs) so every
+dynamic row slice has 8-aligned start and size; the width is padded to
+a lane multiple and only statically sliced inside the kernel.
+
+Grid: row tiles of height TH, double-buffered DMA (pallas_guide.md
+pattern); ragged edges are handled by edge padding baked into the
+input and cropped after.
 """
 
 from __future__ import annotations
@@ -22,23 +27,32 @@ from jax.experimental.pallas import tpu as pltpu
 
 from send_slam_tpu.ops.fast import CIRCLE_OFFSETS
 
-_PAD = 3
+_HALO = 8     # row halo (8-aligned; circle needs only 3)
+_CPAD = 3     # static column halo
 
 
-def _fast_tile(tile, threshold, TH, W):
-    """tile: (TH+6, W+6) f32 -> score (TH, W) f32."""
-    center = tile[_PAD:_PAD + TH, _PAD:_PAD + W]
-    ds = []
-    for dx, dy in CIRCLE_OFFSETS:
-        view = tile[_PAD + dy:_PAD + dy + TH, _PAD + dx:_PAD + dx + W]
-        ds.append(view - center)
+def _fast_tile(tile, threshold, TH, OW):
+    """tile: (TH+16, Wp) f32 -> score (TH, OW) f32.
 
-    bright = jnp.zeros_like(center, jnp.int32)
-    dark = jnp.zeros_like(center, jnp.int32)
-    for i, d in enumerate(ds):
-        bit = jnp.int32(1 << i)
-        bright = bright | jnp.where(d > threshold, bit, 0)
-        dark = dark | jnp.where(d < -threshold, bit, 0)
+    VMEM-frugal formulation: circle differences are sliced on the fly
+    (the tile itself is the only large live buffer) and the arc scan
+    keeps a rolling min window instead of 16 materialized diff planes —
+    peak live temporaries stay at ~6 tile-sized buffers."""
+    center = tile[_HALO:_HALO + TH, _CPAD:_CPAD + OW]
+
+    def d(j):
+        dx, dy = CIRCLE_OFFSETS[j % 16]
+        view = tile[_HALO + dy:_HALO + dy + TH,
+                    _CPAD + dx:_CPAD + dx + OW]
+        return view - center
+
+    bright = jnp.zeros((TH, OW), jnp.int32)
+    dark = jnp.zeros((TH, OW), jnp.int32)
+    for j in range(16):
+        dj = d(j)
+        bit = jnp.int32(1 << j)
+        bright = bright | jnp.where(dj > threshold, bit, 0)
+        dark = dark | jnp.where(dj < -threshold, bit, 0)
 
     def has_run9(m):
         m = m | (m << 16)
@@ -53,9 +67,9 @@ def _fast_tile(tile, threshold, TH, W):
     def arc9(sign):
         best = None
         for s in range(16):
-            m = sign * ds[s]
+            m = sign * d(s)
             for k in range(1, 9):
-                m = jnp.minimum(m, sign * ds[(s + k) % 16])
+                m = jnp.minimum(m, sign * d(s + k))
             best = m if best is None else jnp.maximum(best, m)
         return best
 
@@ -63,19 +77,18 @@ def _fast_tile(tile, threshold, TH, W):
     return jnp.where(is_corner, score, 0.0)
 
 
-def _kernel(img_hbm, out_ref, scratch, sem, *, TH, W, Wp, threshold,
-            n_tiles):
+def _kernel(img_hbm, out_ref, scratch, sem, *, TH, OW, threshold, n_tiles):
     i = pl.program_id(0)
 
     def get_dma(slot, tile_idx):
+        start = pl.multiple_of(tile_idx * TH, 8)
         return pltpu.make_async_copy(
-            img_hbm.at[pl.ds(tile_idx * TH, TH + 2 * _PAD), :],
+            img_hbm.at[pl.ds(start, TH + 2 * _HALO), :],
             scratch.at[slot],
             sem.at[slot],
         )
 
-    # Double-buffered: tile i was started by the previous iteration
-    # (or here for i == 0); start i+1 before computing.
+    # Double-buffered: start tile i+1 before computing tile i.
     @pl.when(i == 0)
     def _():
         get_dma(0, 0).start()
@@ -86,7 +99,7 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, TH, W, Wp, threshold,
 
     get_dma(i % 2, i).wait()
     tile = scratch[i % 2]
-    out_ref[:, :] = _fast_tile(tile, threshold, TH, W)[:, :W]
+    out_ref[:, :] = _fast_tile(tile, threshold, TH, OW)
 
 
 @functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
@@ -95,30 +108,31 @@ def fast_score_map_pallas(
 ) -> jnp.ndarray:
     """Drop-in replacement for ops.fast.fast_score_map on TPU."""
     H, W = img.shape
-    TH = 64
+    TH = 32
     n_tiles = -(-H // TH)
     Hp = n_tiles * TH
-    # Lane-align the padded width so tile rows are contiguous multiples
-    # of 128 where possible; edge-pad (border is masked downstream).
-    Wp = W + 2 * _PAD
-    padded = jnp.pad(img, ((_PAD, Hp - H + _PAD), (_PAD, _PAD)),
-                     mode="edge")
+    OW = -(-W // 128) * 128                 # lane-aligned output width
+    Wp = -(-(OW + 2 * _CPAD) // 128) * 128  # padded input width
+
+    padded = jnp.pad(
+        img,
+        ((_HALO, Hp - H + _HALO), (_CPAD, Wp - W - _CPAD)),
+        mode="edge")
 
     kernel = functools.partial(
-        _kernel, TH=TH, W=W, Wp=Wp, threshold=float(threshold),
-        n_tiles=n_tiles)
+        _kernel, TH=TH, OW=OW, threshold=float(threshold), n_tiles=n_tiles)
 
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((TH, W), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TH, OW), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hp, W), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((Hp, OW), img.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, TH + 2 * _PAD, Wp), img.dtype),
+            pltpu.VMEM((2, TH + 2 * _HALO, Wp), img.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(padded)
-    return out[:H]
+    return out[:H, :W]
