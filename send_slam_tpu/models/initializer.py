@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from send_slam_tpu.config import TrackingConfig
-from send_slam_tpu.geometry.epipolar import eight_point_essential, sampson_error
+from send_slam_tpu.geometry.epipolar import (
+    eight_point_essential, homography_dlt, homography_error, sampson_error,
+)
+from send_slam_tpu.geometry.homography import decompose_homography
 from send_slam_tpu.geometry.triangulate import triangulate_batch
 from send_slam_tpu.ops.hamming import Matches, match_descriptors
 
@@ -171,17 +174,48 @@ def two_view_init(
     Rs4, ts4, Xs4, goods4, cps4 = score_E(E, f_inl)
     counts4 = jnp.sum(goods4, axis=1)                    # (4,)
     bi = jnp.argmax(counts4)
-    n_good = counts4[bi]
-    second = jnp.sort(counts4)[2]
+    n_good_E = counts4[bi]
+    second_E = jnp.sort(counts4)[2]
 
-    R, t = Rs4[bi], ts4[bi]
-    X, point_ok = Xs4[bi], goods4[bi]
-    cos_pars = cps4
+    # --- Parallel HOMOGRAPHY path (planar / low-parallax scenes) -------
+    # 4-point DLT hypotheses, symmetric-transfer scoring, Faugeras
+    # decomposition into 8 motions, same cheirality gates
+    # (TwoViewReconstruction's parallel H RANSAC, model chosen by which
+    # reconstruction explains more points).
+    key_h = jax.random.fold_in(key, 1)
+    idx_h = _sample_minimal_sets(key_h, mvalid, cfg.init_ransac_iters, 4)
+    Hs = jax.vmap(homography_dlt)(x1[idx_h], x2[idx_h])
+    h_errs = jax.vmap(lambda Hm: homography_error(Hm, x1, x2))(Hs)
+    h_th2 = 2.0 * 5.991                                   # both directions
+    h_inl = (h_errs < h_th2) & mvalid[None, :]
+    h_scores = jnp.sum(h_inl, axis=1)
+    h_best = jnp.argmax(h_scores)
+    Hbest = homography_dlt(x1, x2, weights=h_inl[h_best].astype(x1.dtype))
+    h_inl_best = (homography_error(Hbest, x1, x2) < h_th2) & mvalid
+    R8, t8 = decompose_homography(Hbest, K)
+    Xs8, goods8, cps8 = jax.vmap(
+        lambda R, t: _score_motion(R, t, K, x1, x2, h_inl_best,
+                                   reproj_th2, min_parallax_cos))(R8, t8)
+    counts8 = jnp.sum(goods8, axis=1)                     # (8,)
+    bi_h = jnp.argmax(counts8)
+    n_good_H = counts8[bi_h]
+    second_H = jnp.sort(counts8)[6]
+
+    # --- Model selection: the reconstruction explaining more points ----
+    use_H = n_good_H > n_good_E
+    n_good = jnp.where(use_H, n_good_H, n_good_E)
+    second = jnp.where(use_H, second_H, second_E)
+    f_inl = jnp.where(use_H, h_inl_best, f_inl)
+    R = jnp.where(use_H, R8[bi_h], Rs4[bi])
+    t = jnp.where(use_H, t8[bi_h], ts4[bi])
+    X = jnp.where(use_H, Xs8[bi_h], Xs4[bi])
+    point_ok = jnp.where(use_H, goods8[bi_h], goods4[bi])
+    cos_par_best = jnp.where(use_H, cps8[bi_h], cps4[bi])  # (N,)
 
     # Median parallax of accepted points: initializing from a
     # too-small baseline bakes in garbage depths (ORB-SLAM's
     # CheckRT parallax acceptance plays the same role).
-    cp = jnp.where(point_ok, cos_pars[bi], jnp.nan)
+    cp = jnp.where(point_ok, cos_par_best, jnp.nan)
     med_parallax = jnp.arccos(jnp.clip(jnp.nanmedian(cp), -1.0, 1.0))
     min_par = cfg.init_min_parallax_deg * jnp.pi / 180.0
 

@@ -134,6 +134,25 @@ class TestTwoViewInit:
         np.testing.assert_allclose(np.asarray(res.points)[ok] * scale, X[ok],
                                    atol=0.05)
 
+    def test_initializes_planar_scene_via_homography(self):
+        """A pure plane degenerates the essential path; the Faugeras
+        homography path must take over."""
+        X, R_gt, t_gt, uv1, uv2, desc, ang, K = self._build(planar=True)
+        n = len(X)
+        res = two_view_init(
+            jnp.asarray(uv1, jnp.float32), jnp.asarray(desc), jnp.ones(n, bool),
+            jnp.asarray(ang),
+            jnp.asarray(uv2, jnp.float32), jnp.asarray(desc), jnp.ones(n, bool),
+            jnp.asarray(ang),
+            K, jax.random.PRNGKey(2), TrackingConfig())
+        assert bool(res.ok), int(res.n_good)
+        np.testing.assert_allclose(np.asarray(res.R), np.asarray(R_gt),
+                                   atol=1e-2)
+        t_est = np.asarray(res.t)
+        t_ref = np.asarray(t_gt)
+        cos = np.dot(t_est, t_ref) / (np.linalg.norm(t_est) * np.linalg.norm(t_ref))
+        assert cos > 0.99, cos
+
     def test_rejects_pure_rotation(self):
         # No translation -> no parallax -> init must refuse.
         n = 300
