@@ -93,7 +93,10 @@ class Application:
 
     async def start(self) -> None:
         if self.run_web:
-            self.web = WebPanel(self.bus, port=self.config.server.http_port)
+            self.web = WebPanel(
+                self.bus, port=self.config.server.http_port,
+                metrics_fn=lambda: (self.engine.stats()
+                                    if self.engine else {}))
             await self.web.start()
         if self.run_tcp:
             self.tcp = TcpFrameServer(self.bus,

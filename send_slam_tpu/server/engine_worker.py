@@ -24,6 +24,7 @@ from send_slam_tpu.models.system import System
 from send_slam_tpu.server import bus as topics
 from send_slam_tpu.server.bus import Bus
 from send_slam_tpu.server.producers import FrameEvent
+from send_slam_tpu.utils.profiling import StageTimer
 
 log = logging.getLogger(__name__)
 
@@ -38,7 +39,7 @@ class EngineWorker:
         self._stop = asyncio.Event()
         self.frames_in = 0
         self.frames_tracked = 0
-        self.track_times = []
+        self.timer = StageTimer()
 
     def stop(self) -> None:
         self._stop.set()
@@ -52,13 +53,14 @@ class EngineWorker:
                     ev: FrameEvent = await asyncio.wait_for(q.get(), 0.5)
                 except asyncio.TimeoutError:
                     continue
-                gray = rgb_to_gray_u8(ev.frame) if ev.frame.ndim == 3 \
-                    else ev.frame
+                with self.timer.stage("gray_convert"):
+                    gray = rgb_to_gray_u8(ev.frame) if ev.frame.ndim == 3 \
+                        else ev.frame
                 t0 = time.perf_counter()
                 out = await loop.run_in_executor(
                     None, self.system.track_monocular,
                     gray.astype(np.float32), ev.timestamp)
-                self.track_times.append(time.perf_counter() - t0)
+                self.timer.add("track_monocular", time.perf_counter() - t0)
                 self.frames_in += 1
                 if out.tracking_state == TRACKING_OK:
                     self.frames_tracked += 1
@@ -70,11 +72,15 @@ class EngineWorker:
             self.bus.unsubscribe(topics.CAMERA, q)
 
     def stats(self) -> dict:
-        """Shutdown stats like the reference backend (…cc:656-664)."""
-        tt = sorted(self.track_times)
+        """Shutdown / metrics stats like the reference backend's
+        per-frame timing printout (…cc:656-664) and the ImageTimer FPS
+        counter (timer.ex:29-44)."""
         return {
             "frames": self.frames_in,
             "tracked": self.frames_tracked,
-            "median_track_s": tt[len(tt) // 2] if tt else None,
-            "mean_track_s": sum(tt) / len(tt) if tt else None,
+            "tracking_state": self.system.get_tracking_state(),
+            "n_keyframes": int(self.system.map.n_kf),
+            "n_landmarks": int(self.system.map.n_landmarks()),
+            "loops_closed": self.system.loops_closed,
+            "stages": self.timer.summary(),
         }

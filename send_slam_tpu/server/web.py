@@ -39,14 +39,17 @@ def _encode_jpeg(rgb: np.ndarray) -> bytes:
 
 
 class WebPanel:
-    def __init__(self, bus: Bus, host: str = "0.0.0.0", port: int = 4000):
+    def __init__(self, bus: Bus, host: str = "0.0.0.0", port: int = 4000,
+                 metrics_fn=None):
         self.bus = bus
         self.host = host
         self.port = port
+        self.metrics_fn = metrics_fn
         self.app = web.Application()
         self.app.router.add_get("/", self.index)
         self.app.router.add_get("/panel", self.panel_ws)
         self.app.router.add_get("/client", self.client_ws)
+        self.app.router.add_get("/metrics", self.metrics)
         self._runner: Optional[web.AppRunner] = None
 
     async def start(self) -> None:
@@ -67,6 +70,13 @@ class WebPanel:
         if os.path.exists(path):
             return web.FileResponse(path)
         return web.Response(text="panel page missing", status=404)
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Engine observability (frames/sec, per-stage timings, map
+        size) as JSON — the structured version of the reference's
+        scattered Logger lines (SURVEY.md §5)."""
+        data = self.metrics_fn() if self.metrics_fn else {}
+        return web.json_response(data)
 
     async def panel_ws(self, request: web.Request) -> web.WebSocketResponse:
         ws = web.WebSocketResponse()
