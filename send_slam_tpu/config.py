@@ -95,6 +95,12 @@ class TrackingConfig:
     hamming_th_low: int = 50        # ORB-SLAM3 TH_LOW
     ratio_test: float = 0.9
     search_radius_px: float = 15.0
+    # Motion model: fraction of the frame-to-frame motion extrapolated
+    # into the next prediction. 1.0 = classic constant-velocity; the
+    # undamped model is a positive-feedback loop (prediction noise ->
+    # biased window matches -> amplified pose noise) that diverges on
+    # small-motion sequences. 0.5 keeps half the prior, bounded noise.
+    velocity_damping: float = 0.5
     # Pose-only Gauss-Newton
     pose_gn_iters: int = 10
     huber_delta: float = 2.447      # sqrt(5.991) px, chi2 95% 2-dof

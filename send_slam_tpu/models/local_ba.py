@@ -52,7 +52,7 @@ def local_bundle_adjustment(
     huber_delta: float = 2.447,
     damping: float = 1e-3,
     scale_factor: float = 1.2,
-    n_fixed: int = 1,
+    n_fixed: int = 2,
 ) -> MapState:
     """Run local BA over the most recent keyframes; returns the map with
     refined window poses and landmark positions."""
@@ -83,9 +83,12 @@ def local_bundle_adjustment(
         ones, mode="drop")
     lm_free = lm_obs_count >= 2.0
 
-    # The oldest n_fixed window slots are gauge anchors (1 by default:
-    # the monocular scale direction is handled by the LM damping, like
-    # ORB-SLAM's initial GBA with only KF0 fixed).
+    # The oldest n_fixed window slots are gauge anchors. Two by
+    # default: one keyframe pins the 6-dof frame but NOT the monocular
+    # scale — with a single anchor each marching-window BA can rescale
+    # freely and the map detaches from its older landmarks. The
+    # bootstrap BA passes n_fixed=1 (its scale is set by the median-
+    # depth normalization immediately before).
     pose_free = kf_ok & (jnp.arange(W) >= n_fixed)
 
     lm_pos0 = m.lm_pos

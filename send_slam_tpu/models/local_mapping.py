@@ -20,7 +20,9 @@ from send_slam_tpu.geometry.triangulate import triangulate_batch
 from send_slam_tpu.models.map_state import (
     MapState, add_landmarks, cull_landmarks, insert_keyframe,
 )
-from send_slam_tpu.ops.hamming import match_descriptors
+from send_slam_tpu.ops.hamming import (
+    match_descriptors, projection_window_mask,
+)
 
 
 def fundamental_from_poses(Ra, ta, Rb, tb, K):
@@ -113,6 +115,73 @@ def create_new_landmarks(
     return m, jnp.sum((lm_id >= 0).astype(jnp.int32))
 
 
+def fuse_duplicate_landmarks(
+    m: MapState,
+    kf_id: jnp.ndarray,
+    K: jnp.ndarray,
+    cfg: TrackingConfig,
+    radius_px: float = 4.0,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Merge duplicate landmarks via the new keyframe
+    (LocalMapping::SearchInNeighbors' Fuse): re-triangulation creates a
+    twin of an existing landmark whenever tracking missed the original;
+    twins have near-identical descriptors and poison every later
+    ratio test. Any landmark that projects onto a keyframe keypoint
+    already associated with a DIFFERENT landmark (tight window + tight
+    descriptor gate, no ratio test — twins tie by construction) is
+    merged into the older of the two. Returns (map, n_fused)."""
+    ML = m.max_landmarks
+    R, t = m.kf_R[kf_id], m.kf_t[kf_id]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+
+    p = m.lm_pos @ R.T + t
+    z = jnp.maximum(p[:, 2], 1e-6)
+    uv_pred = jnp.stack([fx * p[:, 0] / z + cx, fy * p[:, 1] / z + cy], -1)
+    in_view = m.lm_valid & (p[:, 2] > 0.01)
+
+    kp_uv = m.kf_uv[kf_id]
+    kp_desc = m.kf_desc[kf_id]
+    kp_valid = m.kf_kp_valid[kf_id]
+    window = projection_window_mask(uv_pred, kp_uv, radius_px)
+    match = match_descriptors(
+        m.lm_desc, kp_desc, in_view, kp_valid,
+        max_dist=float(cfg.hamming_th_low), ratio=1.01, mutual=False,
+        extra_mask=window)
+
+    N = kp_uv.shape[0]
+    kp_obs = m.kf_obs_lm[kf_id]                        # kp -> lm id
+    other = kp_obs[jnp.clip(match.idx, 0, N - 1)]      # (ML,)
+    ids = jnp.arange(ML, dtype=jnp.int32)
+    dup = match.valid & (other >= 0) & (other != ids) \
+        & m.lm_valid[jnp.clip(other, 0, ML - 1)]
+
+    keep = jnp.minimum(ids, other)
+    drop = jnp.maximum(ids, other)
+    # Remap vector: drop -> keep (single pass; chains resolve over
+    # successive keyframes).
+    remap = ids
+    remap = remap.at[jnp.where(dup, drop, ML)].set(
+        jnp.where(dup, keep, 0), mode="drop")
+    obs = m.kf_obs_lm
+    obs = jnp.where(obs >= 0, remap[jnp.clip(obs, 0, ML - 1)], obs)
+
+    dropped = jnp.zeros((ML,), bool).at[
+        jnp.where(dup, drop, ML)].set(True, mode="drop")
+    lm_valid = m.lm_valid & ~dropped
+    # Merge tracking statistics into the survivor.
+    add_vis = jnp.zeros((ML,), jnp.int32).at[
+        jnp.where(dup, keep, ML)].add(
+        m.lm_visible[jnp.clip(drop, 0, ML - 1)], mode="drop")
+    add_fnd = jnp.zeros((ML,), jnp.int32).at[
+        jnp.where(dup, keep, ML)].add(
+        m.lm_found[jnp.clip(drop, 0, ML - 1)], mode="drop")
+
+    m = m._replace(kf_obs_lm=obs, lm_valid=lm_valid,
+                   lm_visible=m.lm_visible + add_vis,
+                   lm_found=m.lm_found + add_fnd)
+    return m, jnp.sum(dropped.astype(jnp.int32))
+
+
 def insert_keyframe_with_triangulation(
     m: MapState,
     R: jnp.ndarray, t: jnp.ndarray,
@@ -144,4 +213,7 @@ def insert_keyframe_with_triangulation(
         kf_ref = jnp.maximum(kf_id - back, 0)
         m, n = create_new_landmarks(m, kf_id, kf_ref, K, cfg)
         n_new = n_new + n
+    # Merge any twins the triangulation just created (or that drift
+    # revealed) through this keyframe's viewpoint.
+    m, _ = fuse_duplicate_landmarks(m, kf_id, K, cfg)
     return m, kf_id, n_new

@@ -110,9 +110,13 @@ class System:
             8-float vector [n_inliers, twc(3), quat(4)] — the only
             thing the host ever fetches, one frame late."""
             img_f = img.astype(jnp.float32)
-            # Velocity prediction: T_vel = T_prev ∘ T_prev2^-1.
+            # Damped velocity prediction: T_vel = exp(a·log(T_prev ∘
+            # T_prev2^-1)) — see TrackingConfig.velocity_damping.
+            from send_slam_tpu.geometry.se3 import se3_exp, se3_log
             R2i, t2i = se3_inverse(R_prev2, t_prev2)
             Rv, tv = se3_compose(R_prev, t_prev, R2i, t2i)
+            xi = se3_log(Rv, tv) * tr.velocity_damping
+            Rv, tv = se3_exp(xi)
             Rp, tp = se3_compose(Rv, tv, R_prev, t_prev)
             R_pred = jnp.where(has_vel, Rp, R_prev)
             t_pred = jnp.where(has_vel, tp, t_prev)
@@ -156,7 +160,8 @@ class System:
                 kf0, jnp.arange(N, dtype=jnp.int32), kf1, idx_b)
             # Initial refinement (ORB-SLAM's post-init global BA):
             # KF0 fixed, KF1 + structure free.
-            m = local_bundle_adjustment(m, self._K, config.map, iters=10)
+            m = local_bundle_adjustment(m, self._K, config.map, iters=10,
+                                        n_fixed=1)
             return m
         self._bootstrap_map = jax.jit(_bootstrap_map)
 
@@ -277,7 +282,8 @@ class System:
             self.map = self._bootstrap_map(
                 self.map, self._ref_frame, frame, res)
             self._R, self._t = res.R, res.t
-            self._vel = None
+            self._R2, self._t2 = res.R, res.t
+            self._has_vel = jnp.asarray(False)
             self.state = TRACKING_OK
             self._last_inliers = int(res.n_good)
             self._inliers_at_kf = self._last_inliers
@@ -377,7 +383,8 @@ class System:
         res, score = self._reloc_step(self.map, frame, sub)
         if int(res.n_inliers) >= self.cfg.tracking.min_track_matches:
             self._R, self._t = res.R, res.t
-            self._vel = None
+            self._R2, self._t2 = res.R, res.t
+            self._has_vel = jnp.asarray(False)
             self.state = TRACKING_OK
             self._last_inliers = int(res.n_inliers)
             self._lost_frames = 0
@@ -394,8 +401,10 @@ class System:
         return weak or stale
 
     def _insert_keyframe(self, frame: Frame, track_res) -> None:
+        # The keyframe's pose is its own frame's tracked pose (the
+        # speculative chain may already be a frame ahead).
         self.map, kf_id, n_new = self._insert_kf_step(
-            self.map, self._R, self._t, frame,
+            self.map, track_res.R, track_res.t, frame,
             track_res.matches.idx, track_res.matches.valid & track_res.inlier)
         self.map = self._local_ba_step(self.map)
 
@@ -411,10 +420,18 @@ class System:
                     self.map = self._loop_apply(self.map, kf_id, cand, loop)
                     self.loops_closed += 1
 
-        # Refresh the current pose from the BA-adjusted keyframe.
-        self._R = self.map.kf_R[kf_id]
-        self._t = self.map.kf_t[kf_id]
-        self._vel = None
+        # Propagate the BA adjustment to the speculative pose chain as a
+        # left delta: Δ = T_kf_ba ∘ T_kf_pre^-1 applied to every chain
+        # pose — the chain may have advanced past the keyframe while it
+        # was in flight, and the relative motion (velocity) must
+        # survive the correction. All lazy device ops, no sync.
+        R_pre, t_pre = track_res.R, track_res.t
+        R_ba = self.map.kf_R[kf_id]
+        t_ba = self.map.kf_t[kf_id]
+        dR = R_ba @ R_pre.T
+        dt = t_ba - dR @ t_pre
+        self._R, self._t = dR @ self._R, dR @ self._t + dt
+        self._R2, self._t2 = dR @ self._R2, dR @ self._t2 + dt
         self._frames_since_kf = 0
         self._inliers_at_kf = self._last_inliers
         pos, quat = self._twc()

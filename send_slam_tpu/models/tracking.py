@@ -181,9 +181,13 @@ def track_frame(
     def match_and_optimize(R, t, rad, gn_rounds):
         uv_pred, in_view = project(R, t)
         window = projection_window_mask(uv_pred, kp_uv, rad)
+        # NO ratio test here: the projection window is the
+        # discriminator (ORBmatcher::SearchByProjection does the same);
+        # a ratio test against a map full of similar-texture landmarks
+        # kills true matches wholesale. Mutuality still enforces 1-1.
         m = match_descriptors(lm_desc, kp_desc, in_view, kp_valid,
                               max_dist=float(cfg.hamming_th_high),
-                              ratio=cfg.ratio_test, mutual=True,
+                              ratio=1e9, mutual=True,
                               extra_mask=window)
         # Per-observation variance from keypoint octave (ORB invSigma2).
         oct_m = kp_octave[jnp.clip(m.idx, 0, kp_octave.shape[0] - 1)]
