@@ -37,6 +37,20 @@ from send_slam_tpu.models.map_state import MapState
 CHI2_2DOF = 5.991
 
 
+def wide_bundle_adjustment(m: MapState, K, cfg: MapConfig,
+                           max_window: int = 64, iters: int = 8) -> MapState:
+    """Post-loop-closure refinement (the role of ORB-SLAM's
+    RunGlobalBundleAdjustment): the Sim(3) pose graph has already fixed
+    the global topology, so a wide-window BA (up to ``max_window``
+    recent keyframes) re-polishes metric structure. A truly global
+    dense-blocked BA at max_keyframes=256 would need a ~1 GB H_pl
+    tensor; the compacted-landmark variant is round-2 work."""
+    import dataclasses
+    wide = dataclasses.replace(
+        cfg, ba_window=min(cfg.max_keyframes, max_window))
+    return local_bundle_adjustment(m, K, wide, iters=iters)
+
+
 def _window_slice(arr, start, W):
     """dynamic_slice along axis 0: arr[start:start+W]."""
     sizes = (W,) + arr.shape[1:]

@@ -206,6 +206,9 @@ class System:
             lambda m, kf, cand, key: compute_loop_sim3(
                 m, kf, cand, key, tr, min_matches=tr.loop_min_matches))
         self._loop_apply = jax.jit(apply_loop_correction)
+        from send_slam_tpu.models.local_ba import wide_bundle_adjustment
+        self._wide_ba_step = jax.jit(
+            lambda m: wide_bundle_adjustment(m, self._K, config.map))
         self.loops_closed = 0
 
         self.reset()
@@ -418,6 +421,7 @@ class System:
                 loop = self._loop_sim3(self.map, kf_id, cand, sub)
                 if bool(loop.ok):
                     self.map = self._loop_apply(self.map, kf_id, cand, loop)
+                    self.map = self._wide_ba_step(self.map)
                     self.loops_closed += 1
 
         # Propagate the BA adjustment to the speculative pose chain as a
