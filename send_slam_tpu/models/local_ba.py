@@ -85,17 +85,33 @@ def local_bundle_adjustment(
     kf_kpv = _window_slice(m.kf_kp_valid, start, W)
     kf_ok = _window_slice(m.kf_valid, start, W)   # (W,)
 
-    lm_idx = jnp.clip(kf_obs, 0, ML - 1)          # (W,N)
+    lm_idx_g = jnp.clip(kf_obs, 0, ML - 1)        # (W,N) global ids
     obs_valid = (kf_obs >= 0) & kf_kpv & kf_ok[:, None] \
-        & m.lm_valid[lm_idx]
+        & m.lm_valid[lm_idx_g]
+
+    # Compact the window's landmark set: the window references at most
+    # W*N observation slots but far fewer unique landmarks, and every
+    # ML-sized block tensor below shrinks to LC. unique(size=...) keeps
+    # the shape static; overflow beyond LC is dropped (logged nowhere —
+    # LC is sized to the per-window observation budget).
+    LC = min(ML, max(1024, W * N // 2))
+    masked_ids = jnp.where(obs_valid, lm_idx_g, ML)
+    uids = jnp.unique(masked_ids.reshape(-1), size=LC, fill_value=ML)
+    # global -> compact: position of each obs id in the sorted uids.
+    lm_idx = jnp.searchsorted(uids, lm_idx_g)      # (W,N) in [0, LC]
+    hit = (uids[jnp.clip(lm_idx, 0, LC - 1)] == lm_idx_g) & (lm_idx < LC)
+    obs_valid = obs_valid & hit
+    lm_idx = jnp.clip(lm_idx, 0, LC - 1)
+    uids_safe = jnp.clip(uids, 0, ML - 1)          # (LC,)
+    u_valid = uids < ML
 
     inv_sigma2 = 1.0 / (scale_factor ** (2.0 * kf_oct.astype(jnp.float32)))
 
     # Landmarks need >= 2 in-window observations to be updated.
     ones = obs_valid.astype(jnp.float32).reshape(-1)
-    lm_obs_count = jnp.zeros((ML,), jnp.float32).at[lm_idx.reshape(-1)].add(
+    lm_obs_count = jnp.zeros((LC,), jnp.float32).at[lm_idx.reshape(-1)].add(
         ones, mode="drop")
-    lm_free = lm_obs_count >= 2.0
+    lm_free = (lm_obs_count >= 2.0) & u_valid
 
     # The oldest n_fixed window slots are gauge anchors. Two by
     # default: one keyframe pins the 6-dof frame but NOT the monocular
@@ -105,7 +121,7 @@ def local_bundle_adjustment(
     # depth normalization immediately before).
     pose_free = kf_ok & (jnp.arange(W) >= n_fixed)
 
-    lm_pos0 = m.lm_pos
+    lm_pos0 = m.lm_pos[uids_safe]                  # (LC,3) compact
 
     def ba_iter(carry, _):
         kf_R, kf_t, lm_pos = carry
@@ -148,9 +164,9 @@ def local_bundle_adjustment(
         bl_obs = jnp.einsum('wnia,wn,wni->wna', J_pt, wgt, r)
 
         flat_ids = lm_idx.reshape(-1)
-        H_ll = jnp.zeros((ML, 3, 3)).at[flat_ids].add(
+        H_ll = jnp.zeros((LC, 3, 3)).at[flat_ids].add(
             Hll_obs.reshape(-1, 3, 3), mode="drop")
-        b_l = jnp.zeros((ML, 3)).at[flat_ids].add(
+        b_l = jnp.zeros((LC, 3)).at[flat_ids].add(
             bl_obs.reshape(-1, 3), mode="drop")
 
         # Landmark elimination.
@@ -162,8 +178,8 @@ def local_bundle_adjustment(
                 jnp.where(lm_free[:, None, None], H_ll_d, jnp.eye(3))),
             0.0)                                            # (ML,3,3)
 
-        # Scatter the per-observation cross blocks to (W, ML, 6, 3).
-        H_pl = jnp.zeros((W, ML, 6, 3)).at[
+        # Scatter the per-observation cross blocks to (W, LC, 6, 3).
+        H_pl = jnp.zeros((W, LC, 6, 3)).at[
             jnp.arange(W)[:, None].repeat(N, 1).reshape(-1),
             flat_ids].add(Hpl_obs.reshape(-1, 6, 3), mode="drop")
 
@@ -190,7 +206,7 @@ def local_bundle_adjustment(
         delta_p = delta_p.reshape(W, 6) * free[:, None]
 
         # Back-substitution for landmarks.
-        Hpl_dp = jnp.einsum('wlab,wa->lb', H_pl, delta_p)    # (ML,3)
+        Hpl_dp = jnp.einsum("wlab,wa->lb", H_pl, delta_p)    # (LC,3)
         delta_l = -jnp.einsum('lab,lb->la', H_ll_inv, b_l + Hpl_dp)
         delta_l = delta_l * lm_free[:, None]
 
@@ -199,13 +215,17 @@ def local_bundle_adjustment(
         lm_pos_new = lm_pos + delta_l
         return (kf_R_new, kf_t_new, lm_pos_new), None
 
-    (kf_R, kf_t, lm_pos), _ = jax.lax.scan(
+    (kf_R, kf_t, lm_pos_c), _ = jax.lax.scan(
         ba_iter, (kf_R, kf_t, lm_pos0), None, length=iters)
+
+    # Scatter the refined compact landmark block back into the table.
+    lm_pos = m.lm_pos.at[jnp.where(u_valid, uids_safe, ML)].set(
+        lm_pos_c, mode="drop")
 
     # Observation pruning (the post-BA outlier erase of ORB-SLAM's
     # LocalBundleAdjustment): drop in-window observations whose final
     # chi2 exceeds the threshold.
-    X = lm_pos[lm_idx]
+    X = lm_pos_c[lm_idx]
     p = jnp.einsum('wij,wnj->wni', kf_R, X) + kf_t[:, None, :]
     z = jnp.maximum(p[..., 2], 1e-6)
     u = fx * p[..., 0] / z + cx
