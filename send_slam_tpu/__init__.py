@@ -25,3 +25,12 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+import jax as _jax
+
+# TPU matmuls truncate f32 operands to bf16 under the 'default'
+# precision — px-scale errors in projections / GN normal equations /
+# triangulation that destabilize tracking (bf16's 8-bit mantissa is
+# ~0.4% relative error; geometry needs f32). The descriptor-matching
+# matmul is unaffected (its 0/1 operands are exact in bf16 anyway).
+_jax.config.update("jax_default_matmul_precision", "highest")

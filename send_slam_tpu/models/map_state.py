@@ -219,13 +219,16 @@ def cull_landmarks(
 
 def prune_zero_obs_landmarks(m: MapState) -> MapState:
     """Invalidate landmarks with fewer than 2 observations in the
-    keyframe table (they cannot be triangulated/BA'd)."""
+    keyframe table (they cannot be triangulated/BA'd). Landmarks with
+    ref_kf < 0 are exempt: those were imported by a cross-map merge
+    (parallel/map_merge.py) and intentionally carry no local
+    observations."""
     ML = m.max_landmarks
     flat = m.kf_obs_lm.reshape(-1)
     ok = (flat >= 0).astype(jnp.int32)
     counts = jnp.zeros((ML,), jnp.int32).at[
         jnp.where(flat >= 0, flat, ML)].add(ok, mode="drop")
-    keep = m.lm_valid & (counts >= 2)
+    keep = m.lm_valid & ((counts >= 2) | (m.lm_ref_kf < 0))
     # Clear dangling single observations too.
     obs = m.kf_obs_lm
     dangling = (obs >= 0) & ~keep[jnp.clip(obs, 0, ML - 1)]
