@@ -58,6 +58,10 @@ class OrbConfig:
 class CameraConfig:
     """Pinhole + radtan intrinsics (reference settings YAML Camera1.*)."""
 
+    # "PinHole" (radtan k1 k2 p1 p2 k3) or "KannalaBrandt8" (fisheye,
+    # k1..k4 stored in the k1, k2, p1, p2 slots) — the two camera
+    # models ORB-SLAM3 supports (CameraModels/, CMakeLists.txt:68-69).
+    model: str = "PinHole"
     width: int = 640
     height: int = 480
     fx: float = 517.3

@@ -56,6 +56,55 @@ def unproject(uv, fx, fy, cx, cy):
     return jnp.stack([x, y, jnp.ones_like(x)], -1)
 
 
+def distort_kb8(xn, dist):
+    """Kannala-Brandt (fisheye, "KannalaBrandt8") distortion on
+    normalized coords: theta-polynomial model with k1..k4
+    (ORB-SLAM3 CameraModels/KannalaBrandt8.cpp; cv2.fisheye).
+
+    xn: (…,2); dist: (4,) = (k1, k2, k3, k4).
+    """
+    k1, k2, k3, k4 = dist[0], dist[1], dist[2], dist[3]
+    r = jnp.sqrt(jnp.sum(xn * xn, -1))
+    theta = jnp.arctan(r)
+    t2 = theta * theta
+    theta_d = theta * (1 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+    scale = theta_d / jnp.maximum(r, 1e-9)
+    scale = jnp.where(r < 1e-9, 1.0, scale)
+    return xn * scale[..., None]
+
+
+def project_kb8(points_cam, fx, fy, cx, cy, dist):
+    """Fisheye projection: camera-frame points (…,3) -> pixels (…,2)."""
+    z = jnp.maximum(points_cam[..., 2], 1e-6)
+    xn = points_cam[..., :2] / z[..., None]
+    xd = distort_kb8(xn, dist)
+    u = fx * xd[..., 0] + cx
+    v = fy * xd[..., 1] + cy
+    return jnp.stack([u, v], -1)
+
+
+def undistort_points_kb8(uv, fx, fy, cx, cy, dist, iters: int = 10):
+    """Invert the KB8 model by Newton iteration on theta (like
+    cv2.fisheye.undistortPoints). Returns pixel coords under pure
+    pinhole K."""
+    k1, k2, k3, k4 = dist[0], dist[1], dist[2], dist[3]
+    xd = jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], -1)
+    theta_d = jnp.sqrt(jnp.sum(xd * xd, -1))
+    theta = theta_d
+    for _ in range(iters):
+        t2 = theta * theta
+        f = theta * (1 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))) - theta_d
+        df = 1 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3 + t2 * 9 * k4)))
+        theta = theta - f / jnp.maximum(df, 1e-9)
+    r = jnp.tan(theta)
+    scale = r / jnp.maximum(theta_d, 1e-9)
+    scale = jnp.where(theta_d < 1e-9, 1.0, scale)
+    xn = xd * scale[..., None]
+    u = fx * xn[..., 0] + cx
+    v = fy * xn[..., 1] + cy
+    return jnp.stack([u, v], -1)
+
+
 def undistort_points(uv, fx, fy, cx, cy, dist, iters: int = 8):
     """Iteratively invert radtan distortion (like cv2.undistortPoints).
 

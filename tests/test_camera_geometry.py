@@ -114,3 +114,32 @@ class TestEpipolar:
         H = homography_dlt(jnp.asarray(x1), jnp.asarray(x2))
         err = np.asarray(homography_error(H, jnp.asarray(x1), jnp.asarray(x2)))
         assert np.max(err) < 1e-2, np.max(err)
+
+
+class TestKannalaBrandt8:
+    DIST_KB = np.array([-0.28, 0.07, 0.0002, 1.8e-05], np.float32)
+
+    def test_project_matches_cv2_fisheye(self):
+        from send_slam_tpu.geometry.camera import project_kb8
+        pts = make_scene()
+        uv = np.asarray(project_kb8(jnp.asarray(pts), 458.0, 457.0,
+                                    367.0, 248.0, jnp.asarray(self.DIST_KB)))
+        K = np.array([[458.0, 0, 367.0], [0, 457.0, 248.0], [0, 0, 1]])
+        ref, _ = cv2.fisheye.projectPoints(
+            pts.reshape(-1, 1, 3).astype(np.float64),
+            np.zeros(3), np.zeros(3), K, self.DIST_KB.astype(np.float64))
+        np.testing.assert_allclose(uv, ref.reshape(-1, 2), atol=1e-2)
+
+    def test_undistort_roundtrip(self):
+        from send_slam_tpu.geometry.camera import (
+            project_kb8, undistort_points_kb8,
+        )
+        pts = make_scene()
+        uv_d = project_kb8(jnp.asarray(pts), 458.0, 457.0, 367.0, 248.0,
+                           jnp.asarray(self.DIST_KB))
+        uv_u = np.asarray(undistort_points_kb8(
+            uv_d, 458.0, 457.0, 367.0, 248.0, jnp.asarray(self.DIST_KB)))
+        # Undistorted = pinhole projection of the same points.
+        from send_slam_tpu.geometry.camera import project
+        ref = np.asarray(project(jnp.asarray(pts), 458.0, 457.0, 367.0, 248.0))
+        np.testing.assert_allclose(uv_u, ref, atol=0.05)
