@@ -46,11 +46,12 @@ def main() -> None:
 
     world = SyntheticWorld(n_points=900, width=640, height=480,
                            fx=520.0, fy=520.0)
+    depth = int(os.environ.get("SLAM_BENCH_PIPELINE_DEPTH", "6"))
     cfg = EngineConfig(
         camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
                             cx=320.0, cy=240.0),
         map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
-        tracking=TrackingConfig(init_min_matches=50),
+        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=depth),
     )
     ts, Rs, tls = world.trajectory(n_frames=n_frames)
     frames = [world.render(Rs[k], tls[k]) for k in range(n_frames)]

@@ -105,6 +105,12 @@ class TrackingConfig:
     # biased window matches -> amplified pose noise) that diverges on
     # small-motion sequences. 0.5 keeps half the prior, bounded noise.
     velocity_damping: float = 0.5
+    # Tracking pipeline depth: how many frames may be in flight before
+    # the host fetches a frame's summary and acts on it. Covers the
+    # device->host round-trip latency (depth ~= latency / frame
+    # period): 2 suffices co-located; a remote/tunneled device wants
+    # 6+. Decisions (keyframes, lost) lag by this many frames.
+    pipeline_depth: int = 2
     # Pose-only Gauss-Newton
     pose_gn_iters: int = 10
     huber_delta: float = 2.447      # sqrt(5.991) px, chi2 95% 2-dof

@@ -231,6 +231,8 @@ class System:
         self._inliers_at_kf = 0
         self._lost_frames = 0
         self._last_inliers = 0
+        self._n_kf_host = 0
+        self._pending_loop = None
         # Pipelined tracking: in-flight frames awaiting their (lagged)
         # summary fetch. Each entry: dict(ts, frame, res, summary,
         # R_prev, t_prev) — R/t_prev are the pre-frame pose refs used
@@ -288,6 +290,7 @@ class System:
             self._R2, self._t2 = res.R, res.t
             self._has_vel = jnp.asarray(False)
             self.state = TRACKING_OK
+            self._n_kf_host = 2
             self._last_inliers = int(res.n_good)
             self._inliers_at_kf = self._last_inliers
             self._frames_since_kf = 0
@@ -327,7 +330,7 @@ class System:
         self._has_vel = jnp.asarray(True)
         self.map = m2
 
-        if len(self._pending) > 1:
+        if len(self._pending) > self.cfg.tracking.pipeline_depth:
             return self._process_lagged()
         # Pipeline warming up: repeat the last known output.
         if self._last_out is not None:
@@ -410,19 +413,30 @@ class System:
             self.map, track_res.R, track_res.t, frame,
             track_res.matches.idx, track_res.matches.valid & track_res.inlier)
         self.map = self._local_ba_step(self.map)
+        self._n_kf_host += 1
 
-        # Loop closing at keyframe rate: 2 scalar reads decide whether
-        # the (expensive, rare) verification/correction steps dispatch.
+        # Loop closing at keyframe rate. The candidate score is fetched
+        # LAZILY: dispatched now, read at the NEXT keyframe (its
+        # device->host copy has long completed by then) — no sync here.
         tr = self.cfg.tracking
-        if int(kf_id) >= tr.loop_min_gap_kf:
-            cand, score = self._loop_candidate(self.map, kf_id)
-            if float(score) > tr.loop_score_min:
+        if self._pending_loop is not None:
+            kf_prev, cand_prev, score_prev = self._pending_loop
+            self._pending_loop = None
+            if float(np.asarray(score_prev)) > tr.loop_score_min:
                 self._key, sub = jax.random.split(self._key)
-                loop = self._loop_sim3(self.map, kf_id, cand, sub)
+                loop = self._loop_sim3(self.map, kf_prev, cand_prev, sub)
                 if bool(loop.ok):
-                    self.map = self._loop_apply(self.map, kf_id, cand, loop)
+                    self.map = self._loop_apply(
+                        self.map, kf_prev, cand_prev, loop)
                     self.map = self._wide_ba_step(self.map)
                     self.loops_closed += 1
+        if self._n_kf_host - 1 >= tr.loop_min_gap_kf:
+            cand, score = self._loop_candidate(self.map, kf_id)
+            try:
+                score.copy_to_host_async()
+            except Exception:
+                pass
+            self._pending_loop = (kf_id, cand, score)
 
         # Propagate the BA adjustment to the speculative pose chain as a
         # left delta: Δ = T_kf_ba ∘ T_kf_pre^-1 applied to every chain
@@ -477,6 +491,7 @@ class System:
         mapping, BASELINE.json config 5)."""
         from send_slam_tpu.io.map_io import load_map
         self.map = load_map(path)
+        self._n_kf_host = int(self.map.n_kf)
         self.state = TRACKING_LOST
         self._ref_frame = None
         self._vel = None

@@ -158,6 +158,7 @@ def track_frame(
     search_radius: float = None,
     R_rescue: jnp.ndarray = None,
     t_rescue: jnp.ndarray = None,
+    enable_rescue: bool = True,
 ) -> TrackResult:
     """One tracking step: two-pass search-by-projection + robust pose GN
     (the TrackWithMotionModel -> TrackLocalMap sequence of ORB-SLAM3's
@@ -222,8 +223,9 @@ def track_frame(
     def keep(_):
         return m, opt, in_view
 
-    m, opt, in_view = jax.lax.cond(
-        opt.n_inliers < cfg.min_track_matches, rescue, keep, None)
+    if enable_rescue:
+        m, opt, in_view = jax.lax.cond(
+            opt.n_inliers < cfg.min_track_matches, rescue, keep, None)
 
     return TrackResult(R=opt.R, t=opt.t, matches=m, inlier=opt.inlier,
                        in_view=in_view, n_inliers=opt.n_inliers)

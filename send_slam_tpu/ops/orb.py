@@ -50,6 +50,14 @@ def _fast_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
         return fast_score_map_pallas(img, threshold)
     return fast_score_map(img, threshold)
 
+
+def _fast_nms_score(img: jnp.ndarray, threshold: float) -> jnp.ndarray:
+    """FAST score + 3x3 NMS, fused into one Pallas pass on TPU."""
+    if _on_tpu():
+        from send_slam_tpu.ops.pallas.fast_kernel import fast_score_map_pallas
+        return fast_score_map_pallas(img, threshold, with_nms=True)
+    return nms3x3(fast_score_map(img, threshold))
+
 PATCH_R = 15           # orientation patch radius (31x31)
 DESC_R = 16            # descriptor gather radius (33x33)
 DESC_PATCH = 2 * DESC_R + 1
@@ -194,20 +202,33 @@ def _ic_angle_weights(radius: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 def ic_angle(img: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation per keypoint (radians)."""
     patches = _gather_patches(img, uv, PATCH_R)    # (K, 31, 31)
+    return ic_angle_from_patches(patches)
+
+
+def ic_angle_from_patches(patches: jnp.ndarray) -> jnp.ndarray:
+    """IC angle from pre-gathered patches; uses the centered 31x31
+    window of whatever radius the patches carry."""
+    r = (patches.shape[1] - 1) // 2
+    off = r - PATCH_R
+    core = patches[:, off:off + 2 * PATCH_R + 1, off:off + 2 * PATCH_R + 1]
     _, wx, wy = _ic_angle_weights(PATCH_R)
-    m10 = jnp.sum(patches * jnp.asarray(wx, img.dtype), axis=(1, 2))
-    m01 = jnp.sum(patches * jnp.asarray(wy, img.dtype), axis=(1, 2))
+    m10 = jnp.sum(core * jnp.asarray(wx, patches.dtype), axis=(1, 2))
+    m01 = jnp.sum(core * jnp.asarray(wy, patches.dtype), axis=(1, 2))
     return jnp.arctan2(m01, m10)
 
 
 def brief_descriptors(
     blurred: jnp.ndarray, uv: jnp.ndarray, angle: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Rotated-BRIEF: (K, 8) uint32 packed descriptors.
+    """Rotated-BRIEF: (K, 8) uint32 packed descriptors."""
+    patches = _gather_patches(blurred, uv, DESC_R)   # (K, 33, 33)
+    return brief_from_patches(patches, angle)
 
-    Pattern offsets are rotated by each keypoint's angle and sampled
-    nearest-neighbour from the blurred level image via one big gather.
-    """
+
+def brief_from_patches(patches: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotated-BRIEF from pre-gathered (K, 33, 33) blurred patches —
+    pattern offsets rotated per keypoint, nearest-sampled by one
+    take_along_axis on the flattened patches."""
     pat = jnp.asarray(brief_pattern(), jnp.float32)  # (256, 4)
     ca, sa = jnp.cos(angle), jnp.sin(angle)          # (K,)
 
@@ -219,8 +240,6 @@ def brief_descriptors(
 
     x1, y1 = rotate(pat[:, 0], pat[:, 1])
     x2, y2 = rotate(pat[:, 2], pat[:, 3])
-
-    patches = _gather_patches(blurred, uv, DESC_R)   # (K, 33, 33)
     flat = patches.reshape(patches.shape[0], -1)     # (K, 33*33)
 
     def sample(xr, yr):
@@ -271,9 +290,13 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
 
         uv_l, resp, valid = _grid_topk(s_hi, s_lo, n_lvl, cfg.grid_cells)
 
-        angle = ic_angle(level_img, uv_l)
+        # ONE patch gather (33x33 from the blurred image) feeds both the
+        # IC-angle moments and the BRIEF sampling — per-keypoint gathers
+        # are the extraction's cost center on TPU.
         blurred = gaussian_blur(level_img, sigma=2.0, ksize=7)
-        desc = brief_descriptors(blurred, uv_l, angle)
+        patches = _gather_patches(blurred, uv_l, DESC_R)
+        angle = ic_angle_from_patches(patches)
+        desc = brief_from_patches(patches, angle)
 
         scale = cfg.scale_factor ** lvl
         uv0 = uv_l.astype(jnp.float32) * scale

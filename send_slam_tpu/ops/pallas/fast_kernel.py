@@ -28,26 +28,33 @@ from jax.experimental.pallas import tpu as pltpu
 from send_slam_tpu.ops.fast import CIRCLE_OFFSETS
 
 _HALO = 8     # row halo (8-aligned; circle needs only 3)
-_CPAD = 3     # static column halo
+_CPAD = 4     # static column halo (circle needs 3, fused NMS +1)
 
 
-def _fast_tile(tile, threshold, TH, OW):
+def _fast_tile(tile, threshold, TH, OW, with_nms):
     """tile: (TH+16, Wp) f32 -> score (TH, OW) f32.
 
     VMEM-frugal formulation: circle differences are sliced on the fly
     (the tile itself is the only large live buffer) and the arc scan
     keeps a rolling min window instead of 16 materialized diff planes —
-    peak live temporaries stay at ~6 tile-sized buffers."""
-    center = tile[_HALO:_HALO + TH, _CPAD:_CPAD + OW]
+    peak live temporaries stay at ~6 tile-sized buffers.
+
+    with_nms fuses the 3x3 non-max suppression: scores are computed on
+    a 1-px-halo region (the tile's 8-row/3-col halo covers it) and
+    suppressed in-register — no second HBM pass over the score map."""
+    # Score region including the NMS halo.
+    hy = 1 if with_nms else 0
+    RH, RW = TH + 2 * hy, OW + 2 * hy
+    r0, c0 = _HALO - hy, _CPAD - hy
+    center = tile[r0:r0 + RH, c0:c0 + RW]
 
     def d(j):
         dx, dy = CIRCLE_OFFSETS[j % 16]
-        view = tile[_HALO + dy:_HALO + dy + TH,
-                    _CPAD + dx:_CPAD + dx + OW]
+        view = tile[r0 + dy:r0 + dy + RH, c0 + dx:c0 + dx + RW]
         return view - center
 
-    bright = jnp.zeros((TH, OW), jnp.int32)
-    dark = jnp.zeros((TH, OW), jnp.int32)
+    bright = jnp.zeros((RH, RW), jnp.int32)
+    dark = jnp.zeros((RH, RW), jnp.int32)
     for j in range(16):
         dj = d(j)
         bit = jnp.int32(1 << j)
@@ -74,10 +81,27 @@ def _fast_tile(tile, threshold, TH, OW):
         return best
 
     score = jnp.maximum(arc9(1.0), arc9(-1.0))
-    return jnp.where(is_corner, score, 0.0)
+    score = jnp.where(is_corner, score, 0.0)
+    if not with_nms:
+        return score
+
+    # 3x3 NMS with raster-order tie-breaks (matches ops.fast.nms3x3).
+    c = score[1:1 + TH, 1:1 + OW]
+    keep = jnp.ones((TH, OW), bool)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = score[1 + dy:1 + dy + TH, 1 + dx:1 + dx + OW]
+            if (dy, dx) < (0, 0):
+                keep &= c >= n
+            else:
+                keep &= c > n
+    return jnp.where(keep, c, 0.0)
 
 
-def _kernel(img_hbm, out_ref, scratch, sem, *, TH, OW, threshold, n_tiles):
+def _kernel(img_hbm, out_ref, scratch, sem, *, TH, OW, threshold, n_tiles,
+            with_nms):
     i = pl.program_id(0)
 
     def get_dma(slot, tile_idx):
@@ -99,14 +123,17 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, TH, OW, threshold, n_tiles):
 
     get_dma(i % 2, i).wait()
     tile = scratch[i % 2]
-    out_ref[:, :] = _fast_tile(tile, threshold, TH, OW)
+    out_ref[:, :] = _fast_tile(tile, threshold, TH, OW, with_nms)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "threshold", "interpret", "with_nms"))
 def fast_score_map_pallas(
     img: jnp.ndarray, threshold: float, interpret: bool = False,
+    with_nms: bool = False,
 ) -> jnp.ndarray:
-    """Drop-in replacement for ops.fast.fast_score_map on TPU."""
+    """Drop-in replacement for ops.fast.fast_score_map on TPU; with
+    with_nms=True it fuses nms3x3 as well."""
     H, W = img.shape
     TH = 32
     n_tiles = -(-H // TH)
@@ -120,7 +147,8 @@ def fast_score_map_pallas(
         mode="edge")
 
     kernel = functools.partial(
-        _kernel, TH=TH, OW=OW, threshold=float(threshold), n_tiles=n_tiles)
+        _kernel, TH=TH, OW=OW, threshold=float(threshold), n_tiles=n_tiles,
+        with_nms=with_nms)
 
     out = pl.pallas_call(
         kernel,

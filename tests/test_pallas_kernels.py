@@ -36,3 +36,12 @@ class TestFastKernel:
         assert got.shape == ref.shape
         np.testing.assert_allclose(got[4:-4, 4:-4], ref[4:-4, 4:-4],
                                    atol=1e-5)
+
+    def test_fused_nms_matches_reference(self):
+        from send_slam_tpu.ops.fast import nms3x3
+        img = texture(120, 160, seed=5)
+        ref = np.asarray(nms3x3(fast_score_map(jnp.asarray(img), 12.0)))
+        got = np.asarray(fast_score_map_pallas(
+            jnp.asarray(img), 12.0, interpret=True, with_nms=True))
+        np.testing.assert_allclose(got[4:-4, 4:-4], ref[4:-4, 4:-4],
+                                   atol=1e-5)
