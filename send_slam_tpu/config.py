@@ -138,6 +138,9 @@ class ServerConfig:
 
     http_port: int = 4000           # panel + /client WS (web_server.ex)
     tcp_port: int = 5000            # MessagePack frame/pose compat port
+    # Optional pose-only WS endpoint (PoseWebServer parity, :4001 in
+    # the reference, disabled there and off by default here too).
+    pose_port: int = 0              # 0 = disabled
     host: str = "127.0.0.1"
 
 

@@ -103,6 +103,13 @@ class Application:
                                       host=self.config.server.host,
                                       port=self.config.server.tcp_port)
             await self.tcp.start()
+        if self.config.server.pose_port:
+            from send_slam_tpu.server.pose_server import PoseServer
+            self.pose_server = PoseServer(
+                self.bus, port=self.config.server.pose_port)
+            await self.pose_server.start()
+        else:
+            self.pose_server = None
         if self.run_engine:
             self.engine = EngineWorker(self.bus, self.config)
             self._tasks.append(asyncio.create_task(
@@ -127,6 +134,8 @@ class Application:
         await asyncio.gather(*self._tasks, return_exceptions=True)
         if self.tcp:
             await self.tcp.stop()
+        if getattr(self, "pose_server", None):
+            await self.pose_server.stop()
         if self.web:
             await self.web.stop()
         if self.engine:

@@ -86,6 +86,16 @@ class BackendClient:
         dec = PacketDecoder()
         loop = asyncio.get_running_loop()
         try:
+            await self._serve(reader, writer, dec, loop)
+        except (ConnectionResetError, BrokenPipeError):
+            # Host hung up — treated as shutdown, like the reference
+            # backend exiting on a closed socket (…cc:636-650).
+            log.info("host connection lost; shutting down")
+        finally:
+            writer.close()
+
+    async def _serve(self, reader, writer, dec, loop) -> None:
+        try:
             while True:
                 data = await reader.read(1 << 20)
                 if not data:
