@@ -238,6 +238,7 @@ class System:
         # R_prev, t_prev) — R/t_prev are the pre-frame pose refs used
         # to rewind when the frame turns out lost.
         self._pending: List[dict] = []
+        self._ready: List[TrackOutput] = []
         self._last_out: Optional[TrackOutput] = None
         self._trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._kf_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
@@ -331,16 +332,30 @@ class System:
         self.map = m2
 
         if len(self._pending) > self.cfg.tracking.pipeline_depth:
-            return self._process_lagged()
-        # Pipeline warming up: repeat the last known output.
+            # Fetch ALL ready summaries in one device round trip (the
+            # fetch latency is per-call, not per-byte, on a remote
+            # device), process every drained entry, queue their outputs.
+            n_ready = len(self._pending) - 1
+            batch = np.asarray(jnp.stack(
+                [e["summary"] for e in self._pending[:n_ready]]))
+            for i in range(n_ready):
+                if self.state not in (TRACKING_OK, TRACKING_RECENTLY_LOST) \
+                        or not self._pending:
+                    break
+                self._ready.append(self._process_lagged(batch[i]))
+        if self._ready:
+            return self._ready.pop(0)
+        # Pipeline warming up: repeat the last known output verbatim
+        # (with ITS timestamp — re-stamping a stale pose corrupts
+        # trajectory evaluation).
         if self._last_out is not None:
-            return self._last_out._replace(timestamp=timestamp)
+            return self._last_out
         return TrackOutput(self.state, None, None, 0, timestamp)
 
-    def _process_lagged(self) -> TrackOutput:
+    def _process_lagged(self, summary_np=None) -> TrackOutput:
         ent = self._pending.pop(0)
         tr = self.cfg.tracking
-        s = np.asarray(ent["summary"])
+        s = np.asarray(ent["summary"]) if summary_np is None else summary_np
         n_inl = int(s[0])
         pos, quat = s[1:4], s[4:8]
         ts = ent["ts"]
