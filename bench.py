@@ -54,7 +54,10 @@ def main() -> None:
         tracking=TrackingConfig(init_min_matches=50, pipeline_depth=depth),
     )
     ts, Rs, tls = world.trajectory(n_frames=n_frames)
-    frames = [world.render(Rs[k], tls[k]) for k in range(n_frames)]
+    # uint8 frames: what a real camera delivers, and 4x less
+    # host->device transfer than f32 (the engine converts on device).
+    frames = [np.round(world.render(Rs[k], tls[k])).astype(np.uint8)
+              for k in range(n_frames)]
 
     sys_ = System(cfg)
     t_track = []
