@@ -103,3 +103,31 @@ class TestPPM:
         ref = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
         got = ppm.rgb_to_gray_u8(img)
         assert np.max(np.abs(got.astype(int) - ref.astype(int))) <= 1
+
+
+class TestOrbslamYaml:
+    def test_settings_yaml_roundtrip(self):
+        """The field names the reference adapter writes
+        (orbslam3_mono_networked.cc:158-223) must configure the engine."""
+        from send_slam_tpu.config import from_orbslam_yaml
+        text = "\n".join([
+            "%YAML:1.0", "---",
+            "Camera.type: \"PinHole\"",
+            "Camera1.fx: 517.3", "Camera1.fy: 516.5",
+            "Camera1.cx: 318.6", "Camera1.cy: 255.3",
+            "Camera1.k1: 0.26", "Camera1.k2: -0.95",
+            "Camera1.p1: -0.005", "Camera1.p2: 0.0026",
+            "Camera.width: 640", "Camera.height: 480",
+            "Camera.fps: 30", "Camera.RGB: 1",
+            "ORBextractor.nFeatures: 1250",
+            "ORBextractor.scaleFactor: 1.2",
+            "ORBextractor.nLevels: 8",
+            "ORBextractor.iniThFAST: 20",
+            "ORBextractor.minThFAST: 7",
+        ])
+        cfg = from_orbslam_yaml(text)
+        assert cfg.camera.fx == 517.3
+        assert cfg.camera.k2 == -0.95
+        assert cfg.camera.width == 640
+        assert cfg.orb.n_features == 1250
+        assert cfg.orb.ini_th_fast == 20
