@@ -361,6 +361,13 @@ class System:
         ts = ent["ts"]
 
         if n_inl < tr.min_track_matches:
+            # Tracking failure right after initialization means the
+            # two-view geometry was bad (monocular init is a lottery on
+            # low-parallax scenes): discard the young map and re-
+            # initialize, like ORB-SLAM's reset-if-few-keyframes.
+            if self._n_kf_host <= 5:
+                self.reset()
+                return TrackOutput(self.state, None, None, 0, ts)
             # The frame starved even after the in-graph wide rescue:
             # rewind the pose chain to before this frame and drop the
             # speculatively dispatched newer in-flight entries.
