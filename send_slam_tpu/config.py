@@ -126,7 +126,7 @@ class TrackingConfig:
     # Loop closing
     loop_min_gap_kf: int = 20       # candidate must be this many KFs old
     loop_score_min: float = 0.35    # retrieval cosine threshold
-    loop_min_matches: int = 20      # verified 3D-3D matches required
+    loop_min_matches: int = 12      # verified 3D-3D matches required
 
 
 @dataclasses.dataclass(frozen=True)

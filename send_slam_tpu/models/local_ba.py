@@ -232,7 +232,7 @@ def local_bundle_adjustment(
     v = fy * p[..., 1] / z + cy
     r = jnp.stack([u, v], -1) - kf_uv
     chi2 = jnp.sum(r * r, -1) * inv_sigma2
-    bad_obs = obs_valid & ((chi2 > 2.0 * CHI2_2DOF) | (p[..., 2] <= 1e-3))
+    bad_obs = obs_valid & ((chi2 > 4.0 * CHI2_2DOF) | (p[..., 2] <= 1e-3))
     kf_obs_pruned = jnp.where(bad_obs, -1, kf_obs)
 
     # Write the window back.

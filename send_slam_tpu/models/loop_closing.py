@@ -52,7 +52,7 @@ class LoopSim3(NamedTuple):
 def compute_loop_sim3(
     m: MapState, kf_id: jnp.ndarray, cand_id: jnp.ndarray,
     key: jnp.ndarray, cfg: TrackingConfig,
-    min_matches: int = 20,
+    min_matches: int = 12,
 ) -> LoopSim3:
     """Verify a loop candidate: descriptor-match the two keyframes'
     keypoints, take pairs where both sides observe a landmark, and
@@ -62,9 +62,12 @@ def compute_loop_sim3(
     valid_a = m.kf_kp_valid[kf_id] & (m.kf_obs_lm[kf_id] >= 0)
     valid_c = m.kf_kp_valid[cand_id] & (m.kf_obs_lm[cand_id] >= 0)
 
+    # No ratio test: similar-texture scenes tie best/second-best for
+    # genuinely matching landmarks (the same lesson as the tracking
+    # matcher); mutual 1-1 + the Sim3 RANSAC carry the outlier burden.
     match = match_descriptors(desc_a, desc_c, valid_a, valid_c,
                               max_dist=float(cfg.hamming_th_low),
-                              ratio=0.75, mutual=True)
+                              ratio=1e9, mutual=True)
     N = desc_a.shape[0]
     idx_c = jnp.clip(match.idx, 0, N - 1)
     lm_a = m.kf_obs_lm[kf_id]
@@ -91,6 +94,7 @@ def apply_loop_correction(
     m: MapState, kf_id: jnp.ndarray, cand_id: jnp.ndarray,
     loop: LoopSim3,
     pgo_iters: int = 15,
+    seq_edge_invalid: jnp.ndarray = None,
 ) -> MapState:
     """Insert the loop edge, run Sim(3) PGO, write back corrected SE3
     keyframe poses and landmark positions.
@@ -108,9 +112,13 @@ def apply_loop_correction(
         valid=loop.ok[None],
         weight=jnp.asarray([5.0]),
     )
-    edges = concat_edges(
-        build_sequential_edges(m.kf_R, m.kf_t, m.kf_valid, m.n_kf),
-        loop_edge)
+    seq = build_sequential_edges(m.kf_R, m.kf_t, m.kf_valid, m.n_kf)
+    if seq_edge_invalid is not None:
+        # Chain edges that cross a relocalization boundary encode the
+        # reloc JUMP as if it were real motion — they must not
+        # constrain the pose graph.
+        seq = seq._replace(valid=seq.valid & ~seq_edge_invalid)
+    edges = concat_edges(seq, loop_edge)
     s_new, R_new, t_new = optimize_pose_graph(
         m.kf_R, m.kf_t, m.kf_valid, edges, iters=pgo_iters)
 

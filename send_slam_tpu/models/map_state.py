@@ -199,14 +199,20 @@ def update_landmark_stats(
 
 def cull_landmarks(
     m: MapState, min_visible: int = 4, min_found_ratio: float = 0.25,
+    probation_kfs: int = 3,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Remove unreliable landmarks (LocalMapping::MapPointCulling):
-    enough visibility opportunities but rarely actually matched.
+    enough visibility opportunities but rarely actually matched —
+    but ONLY during a probation window after creation (ORB-SLAM culls
+    within ~3 keyframes of birth). A mature landmark that later leaves
+    the field of view accumulates visible-without-found and must NOT be
+    culled, or the map self-destructs right before every loop closure.
     Their observation-table entries are cleared. Returns (map, n_culled).
     """
     vis = m.lm_visible.astype(jnp.float32)
     fnd = m.lm_found.astype(jnp.float32)
-    bad = m.lm_valid & (m.lm_visible >= min_visible) \
+    young = m.lm_ref_kf >= (m.n_kf - probation_kfs)
+    bad = m.lm_valid & young & (m.lm_visible >= min_visible) \
         & (fnd < min_found_ratio * vis)
     lm_valid = m.lm_valid & ~bad
     # Clear observation entries that point at culled landmarks.

@@ -50,7 +50,7 @@ def sim3_ransac(
     key: jnp.ndarray,
     n_hyp: int = 128,
     inlier_th: float = 0.05,
-    min_inliers: int = 12,
+    min_inliers: int = 8,
 ) -> Sim3Result:
     """RANSAC Sim(3): src/dst (N,3) matched points, valid mask.
 

@@ -205,7 +205,9 @@ class System:
         self._loop_sim3 = jax.jit(
             lambda m, kf, cand, key: compute_loop_sim3(
                 m, kf, cand, key, tr, min_matches=tr.loop_min_matches))
-        self._loop_apply = jax.jit(apply_loop_correction)
+        self._loop_apply = jax.jit(
+            lambda m, kf, cand, loop, inval: apply_loop_correction(
+                m, kf, cand, loop, seq_edge_invalid=inval))
         from send_slam_tpu.models.local_ba import wide_bundle_adjustment
         self._wide_ba_step = jax.jit(
             lambda m: wide_bundle_adjustment(m, self._K, config.map))
@@ -233,6 +235,11 @@ class System:
         self._last_inliers = 0
         self._n_kf_host = 0
         self._pending_loop = None
+        self.loop_attempts: List[tuple] = []
+        # KF indices whose incoming chain edge crosses a relocalization
+        # (the relative pose there is a jump, not motion).
+        self._reloc_boundary_next_kf = False
+        self._reloc_boundaries: List[int] = []
         # Pipelined tracking: in-flight frames awaiting their (lagged)
         # summary fetch. Each entry: dict(ts, frame, res, summary,
         # R_prev, t_prev) — R/t_prev are the pre-frame pose refs used
@@ -376,8 +383,10 @@ class System:
             self._has_vel = jnp.asarray(False)
             self._pending.clear()
             self._lost_frames += 1
+            # A couple of in-place retries, then full relocalization
+            # (ORB-SLAM moves to reloc almost immediately on loss).
             self.state = (TRACKING_RECENTLY_LOST
-                          if self._lost_frames <= 20 else TRACKING_LOST)
+                          if self._lost_frames <= 3 else TRACKING_LOST)
             out = TrackOutput(self.state, None, None, 0, ts)
             self._last_out = out
             return out
@@ -387,6 +396,7 @@ class System:
         self.state = TRACKING_OK
         self._frames_since_kf += 1
 
+        self._maybe_close_loop()
         if self._need_keyframe(n_inl):
             self._insert_keyframe(ent["frame"], ent["res"])
 
@@ -417,6 +427,35 @@ class System:
             self._last_inliers = int(res.n_inliers)
             self._lost_frames = 0
             self._frames_since_kf += 1
+            self._reloc_boundary_next_kf = True
+
+    def _maybe_close_loop(self) -> None:
+        """Evaluate a pending loop-candidate score (fetched lazily) and
+        run the Sim3 verification + pose-graph correction if it hits."""
+        if self._pending_loop is None:
+            return
+        tr = self.cfg.tracking
+        kf_prev, cand_prev, score_prev = self._pending_loop
+        self._pending_loop = None
+        score = float(np.asarray(score_prev))
+        verified = None
+        if score > tr.loop_score_min:
+            self._key, sub = jax.random.split(self._key)
+            loop = self._loop_sim3(self.map, kf_prev, cand_prev, sub)
+            verified = bool(loop.ok)
+            if verified:
+                MK = self.map.max_keyframes
+                inval = np.zeros(MK - 1, bool)
+                for b in self._reloc_boundaries:
+                    if 1 <= b < MK:
+                        inval[b - 1] = True
+                self.map = self._loop_apply(
+                    self.map, kf_prev, cand_prev, loop,
+                    jnp.asarray(inval))
+                self.map = self._wide_ba_step(self.map)
+                self.loops_closed += 1
+        self.loop_attempts.append(
+            (int(kf_prev), int(np.asarray(cand_prev)), score, verified))
 
     def _need_keyframe(self, n_inl: int) -> bool:
         cfg = self.cfg
@@ -436,22 +475,19 @@ class System:
             track_res.matches.idx, track_res.matches.valid & track_res.inlier)
         self.map = self._local_ba_step(self.map)
         self._n_kf_host += 1
+        if self._reloc_boundary_next_kf:
+            self._reloc_boundaries.append(self._n_kf_host - 1)
+            self._reloc_boundary_next_kf = False
+        # Periodic wide-window BA (cheap at 1/8 keyframe rate): grinds
+        # down accumulated drift and residual init error that the
+        # marching local window cannot reach.
+        if self._n_kf_host % 8 == 0:
+            self.map = self._wide_ba_step(self.map)
 
-        # Loop closing at keyframe rate. The candidate score is fetched
-        # LAZILY: dispatched now, read at the NEXT keyframe (its
-        # device->host copy has long completed by then) — no sync here.
+        # Loop closing: dispatch the candidate retrieval now; its score
+        # is read lazily a few frames later (_maybe_close_loop at frame
+        # rate) once the device->host copy has completed.
         tr = self.cfg.tracking
-        if self._pending_loop is not None:
-            kf_prev, cand_prev, score_prev = self._pending_loop
-            self._pending_loop = None
-            if float(np.asarray(score_prev)) > tr.loop_score_min:
-                self._key, sub = jax.random.split(self._key)
-                loop = self._loop_sim3(self.map, kf_prev, cand_prev, sub)
-                if bool(loop.ok):
-                    self.map = self._loop_apply(
-                        self.map, kf_prev, cand_prev, loop)
-                    self.map = self._wide_ba_step(self.map)
-                    self.loops_closed += 1
         if self._n_kf_host - 1 >= tr.loop_min_gap_kf:
             cand, score = self._loop_candidate(self.map, kf_id)
             try:
@@ -488,13 +524,28 @@ class System:
     # ------------------------------------------------------------------
     # Shutdown artifacts (reference: stats + TUM trajectory, …cc:652-671)
 
+    def keyframe_poses(self):
+        """(timestamps, positions, quaternions) of all keyframes, read
+        from the CURRENT map — so pose-graph/BA corrections applied
+        after insertion are reflected (like ORB-SLAM, whose saved
+        keyframe trajectory is the corrected one)."""
+        n = self._n_kf_host
+        if n == 0:
+            return np.zeros(0), np.zeros((0, 3)), np.zeros((0, 4))
+        Rws, tws = se3_inverse(self.map.kf_R[:n], self.map.kf_t[:n])
+        quats = quat_from_rotmat(Rws)
+        return (np.asarray(self.map.kf_timestamp[:n]),
+                np.asarray(tws), np.asarray(quats))
+
     def keyframe_trajectory_tum(self) -> str:
         """TUM-format keyframe trajectory (timestamp tx ty tz qx qy qz qw),
-        like SaveKeyFrameTrajectoryTUM (…cc:670)."""
+        like SaveKeyFrameTrajectoryTUM (…cc:670) — corrected poses."""
+        ts, pos, quat = self.keyframe_poses()
         lines = []
-        for ts, p, q in self._kf_trajectory:
+        for i in range(len(ts)):
+            p, q = pos[i], quat[i]
             lines.append(
-                f"{ts:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
+                f"{ts[i]:.6f} {p[0]:.7f} {p[1]:.7f} {p[2]:.7f} "
                 f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}")
         return "\n".join(lines) + "\n"
 

@@ -1,0 +1,70 @@
+"""Loop-closure integration: an out-and-back trajectory must trigger
+retrieval + Sim3 verification + pose-graph correction (BASELINE.json
+config 4's loop machinery, on the synthetic world)."""
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from send_slam_tpu.config import (
+    CameraConfig, EngineConfig, MapConfig, OrbConfig, TrackingConfig,
+)
+from send_slam_tpu.io.evaluate import ate_rmse
+from send_slam_tpu.models.system import System
+from send_slam_tpu.utils.synth import SyntheticWorld
+
+
+def out_and_back(n_frames=220, reach=1.8, fps=30.0, hold=16):
+    """Pan right to ``reach`` metres, come back, and hold at the start
+    viewpoint for ``hold`` frames — revisiting with accumulated drift
+    (the hold gives the loop closer frames to verify and correct)."""
+    ts, Rs, tls = [], [], []
+    move = n_frames - hold
+    for k in range(n_frames):
+        a = min(k, move - 1) / (move - 1)
+        x = reach * (1 - abs(2 * a - 1))          # triangle wave 0->reach->0
+        yaw = -0.1 * x / reach
+        c = np.array([x, 0.0, 0.0])
+        Rwc = Rotation.from_euler("y", yaw).as_matrix()
+        R = Rwc.T
+        ts.append(k / fps)
+        Rs.append(R)
+        tls.append(-R @ c)
+    return np.asarray(ts), Rs, tls
+
+
+@pytest.mark.slow
+def test_loop_closes_on_revisit():
+    world = SyntheticWorld(n_points=700, seed=5)
+    cfg = EngineConfig(
+        orb=OrbConfig(n_features=512, n_levels=4),
+        camera=CameraConfig(width=world.W, height=world.H,
+                            fx=world.fx, fy=world.fy,
+                            cx=world.cx, cy=world.cy),
+        map=MapConfig(max_keyframes=64, max_landmarks=4096, ba_window=4),
+        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=2,
+                                loop_min_gap_kf=10),
+    )
+    ts, Rs, tls = out_and_back()
+    sys_ = System(cfg)
+    est = {}
+    n_ok = 0
+    for k in range(len(ts)):
+        out = sys_.track_monocular(world.render(Rs[k], tls[k]), float(ts[k]))
+        if out.tracking_state == 2 and out.position is not None:
+            n_ok += 1
+            est[out.timestamp] = out.position
+    assert n_ok > 80, n_ok
+    # The revisit must have triggered at least one loop closure.
+    assert sys_.loops_closed >= 1, sys_.loops_closed
+    gt_pos = [-R.T @ t for R, t in zip(Rs, tls)]
+    # Evaluate the CORRECTED keyframe trajectory (streamed per-frame
+    # poses keep their historical drift; the keyframe poses reflect
+    # pose-graph correction — the TUM-benchmark convention).
+    kts, kpos, _ = sys_.keyframe_poses()
+    err = ate_rmse(kts, kpos, ts, np.asarray(gt_pos))
+    # Round-1 bar: the loop must close and keep the corrected keyframe
+    # trajectory bounded (raw odometry on this aliasing-heavy synthetic
+    # world drifts ~0.7 without it). Tightening to <0.25 is round-2
+    # work (projection-based loop verification, stronger mid-loop BA).
+    assert err < 0.65, err
