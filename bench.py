@@ -29,10 +29,20 @@ import numpy as np
 
 
 def main() -> None:
+    # Persistent XLA compilation cache: repeat runs (and the driver's
+    # runs after ours) skip the multi-minute compile phase entirely.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache_dir)
     if os.environ.get("SLAM_BENCH_CPU") == "1":
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from send_slam_tpu.config import (
         CameraConfig, EngineConfig, MapConfig, OrbConfig, TrackingConfig,
@@ -60,9 +70,14 @@ def main() -> None:
               for k in range(n_frames)]
 
     sys_ = System(cfg)
+    t0_compile = time.perf_counter()
+    sys_.warmup(image_dtype=np.uint8)
+    t_compile = time.perf_counter() - t0_compile
     t_track = []
     est_ts, est_pos = [], []
     n_ok = 0
+    t_first_ok = None
+    t_seq0 = time.perf_counter()
     for k in range(n_frames):
         t0 = time.perf_counter()
         out = sys_.track_monocular(frames[k], float(ts[k]))
@@ -71,6 +86,8 @@ def main() -> None:
             t_track.append(dt)
         if out.tracking_state == 2:
             n_ok += 1
+            if t_first_ok is None:
+                t_first_ok = time.perf_counter() - t_seq0
             est_ts.append(out.timestamp)
             est_pos.append(out.position)
 
@@ -83,6 +100,10 @@ def main() -> None:
            if len(est_pos) >= 3 else float("inf"))
 
     # Shutdown stats like the reference backend (…cc:656-664).
+    print(f"# warmup compile time:  {t_compile:.1f} s", file=sys.stderr)
+    print(f"# time to first track:  "
+          f"{-1.0 if t_first_ok is None else t_first_ok:.2f} s",
+          file=sys.stderr)
     print(f"# median tracking time: {med*1e3:.2f} ms", file=sys.stderr)
     print(f"# mean tracking time:   {mean*1e3:.2f} ms", file=sys.stderr)
     print(f"# tracked frames:       {n_ok}/{n_frames}", file=sys.stderr)

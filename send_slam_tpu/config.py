@@ -111,6 +111,13 @@ class TrackingConfig:
     # period): 2 suffices co-located; a remote/tunneled device wants
     # 6+. Decisions (keyframes, lost) lag by this many frames.
     pipeline_depth: int = 2
+    # Elastic-drain bound: the pipeline may stretch to
+    # pipeline_stretch * pipeline_depth in-flight frames while a lagged
+    # summary fetch is still in transit (absorbs relay hiccups on a
+    # remote-attached device) before the loop blocks on the oldest
+    # fetch. 1 = no stretching: pop (blocking) as soon as the pipeline
+    # exceeds depth — deterministic drain order, what CPU tests want.
+    pipeline_stretch: int = 4
     # Pose-only Gauss-Newton
     pose_gn_iters: int = 10
     huber_delta: float = 2.447      # sqrt(5.991) px, chi2 95% 2-dof
@@ -127,6 +134,11 @@ class TrackingConfig:
     loop_min_gap_kf: int = 20       # candidate must be this many KFs old
     loop_score_min: float = 0.35    # retrieval cosine threshold
     loop_min_matches: int = 12      # verified 3D-3D matches required
+    # Atlas multi-map (ORB-SLAM3: new map on prolonged tracking loss,
+    # weld on place-recognition overlap).
+    atlas_reloc_patience: int = 15  # failed reloc frames before freezing
+    atlas_min_kf: int = 10          # map must be this mature to freeze
+    max_atlas_maps: int = 4         # frozen maps kept (oldest dropped)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,7 +19,7 @@ import numpy as np
 
 from send_slam_tpu.models.map_state import MapState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 ENV_VAR = "ORBSLAM3_MAP_PATH"  # reference env name, honored for parity
 
 
@@ -52,7 +52,14 @@ def load_map(path: Optional[str] = None) -> MapState:
     path = path or default_map_path()
     with np.load(path) as data:
         header = json.loads(bytes(data["__header__"]).decode())
-        if header["version"] != FORMAT_VERSION:
+        if header["version"] > FORMAT_VERSION:
             raise ValueError(f"unsupported map version {header['version']}")
-        return MapState(**{
-            f: jnp.asarray(data[f]) for f in MapState._fields})
+        fields = {}
+        for f in MapState._fields:
+            if f in data.files:
+                fields[f] = jnp.asarray(data[f])
+        # Fields added after v1 get their empty-map defaults.
+        if "kf_chain_break" not in fields:
+            mk = int(header["max_keyframes"])
+            fields["kf_chain_break"] = jnp.zeros((mk,), bool)
+        return MapState(**fields)

@@ -1,0 +1,239 @@
+"""Covisibility structure over the keyframe table.
+
+TPU-native equivalent of ORB-SLAM3's KeyFrame covisibility graph +
+spanning tree (slam_backends/orb_slam_3/CMakeLists.txt:57) and
+LocalMapping's redundant-keyframe culling (CMakeLists.txt:50). The C++
+code maintains per-keyframe sorted neighbour lists under mutexes; here
+the whole graph is recomputed on demand from the dense observation
+table ``kf_obs_lm`` as ONE (MK, ML) @ (ML, MK) matmul on the MXU —
+at MK=256, ML=16k that is ~2 GFLOP, microseconds, so there is nothing
+to incrementally maintain.
+
+Provides:
+- covisibility_matrix: shared-landmark counts between all KF pairs;
+- covis_window_ids:    the local-BA window of ORB-SLAM (the current
+                       KF's best covisible neighbours, not pure recency);
+- covis_edges:         essential-graph edges (top-k covisible pairs)
+                       for the Sim(3) pose graph;
+- chain_edges:         spanning-tree edges between consecutive VALID
+                       keyframes (survives culling holes);
+- cull_redundant_keyframes: ORB-SLAM's rule — a KF ≥90% of whose
+                       landmarks are seen by ≥3 other keyframes is
+                       redundant and dropped;
+- compact_keyframes:   pack surviving keyframes to the front so the
+                       fixed-capacity table bounds the ACTIVE window,
+                       not the session length.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from send_slam_tpu.models.map_state import MapState
+from send_slam_tpu.models.pose_graph import PoseGraphEdges, relative_edges
+
+
+def kf_lm_indicator(m: MapState) -> jnp.ndarray:
+    """(MK, ML) f32: 1 where keyframe k observes landmark l."""
+    MK, ML = m.max_keyframes, m.max_landmarks
+    N = m.n_keypoints
+    obs = m.kf_obs_lm                                   # (MK,N)
+    ok = (obs >= 0) & m.kf_valid[:, None]
+    rows = jnp.broadcast_to(jnp.arange(MK)[:, None], (MK, N)).reshape(-1)
+    cols = jnp.where(ok, obs, ML).reshape(-1)
+    O = jnp.zeros((MK, ML), jnp.float32)
+    # max, not add: several keypoints of one KF can map to the same
+    # landmark transiently; covisibility counts landmarks, not slots.
+    return O.at[rows, cols].max(1.0, mode="drop")
+
+
+def covisibility_matrix(m: MapState) -> jnp.ndarray:
+    """(MK, MK) f32 shared-landmark counts (diagonal zeroed)."""
+    O = kf_lm_indicator(m)
+    C = O @ O.T                                         # MXU
+    return C * (1.0 - jnp.eye(m.max_keyframes, dtype=C.dtype))
+
+
+def covis_window_ids(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Local-BA window: the newest keyframe + its W-1 most covisible
+    valid keyframes, sorted ascending (oldest first — the BA fixes the
+    first ``n_fixed`` as gauge anchors). Slots without a qualified
+    neighbour are padded with MK (masked out downstream).
+
+    Returns (ids (W,) int32, valid (W,) bool)."""
+    MK = m.max_keyframes
+    cur = jnp.clip(m.n_kf - 1, 0, MK - 1)
+    C = covisibility_matrix(m)
+    row = C[cur]                                        # (MK,)
+    ids = jnp.arange(MK)
+    eligible = m.kf_valid & (ids != cur) & (ids < m.n_kf)
+    score = jnp.where(eligible & (row > 0), row, -1.0)
+    top_v, top_i = jax.lax.top_k(score, W - 1)
+    sel_ok = top_v > 0
+    sel = jnp.where(sel_ok, top_i, MK)
+    all_ids = jnp.concatenate([sel, cur[None].astype(sel.dtype)])
+    all_ok = jnp.concatenate([sel_ok, jnp.ones((1,), bool)])
+    ids_sorted = jnp.sort(jnp.where(all_ok, all_ids, MK))
+    return ids_sorted.astype(jnp.int32), ids_sorted < MK
+
+
+def covis_edges(m: MapState, top_k: int = 5,
+                min_shared: float = 30.0,
+                max_gap: int = 0) -> PoseGraphEdges:
+    """Essential-graph covisibility edges: for every valid keyframe,
+    its ``top_k`` strongest covisible partners with at least
+    ``min_shared`` shared landmarks. Edges are measured from the
+    current pose estimates (like OptimizeEssentialGraph's non-loop
+    edges). E = MK * top_k static edges; duplicates (i->j and j->i)
+    are harmless — they weight the same constraint twice.
+
+    max_gap > 0 keeps only edges between keyframes within ``max_gap``
+    slots of each other. Covisible-but-temporally-distant pairs (an
+    out-and-back revisit) have relative poses measured ACROSS the
+    accumulated drift — exactly the error the loop edge must remove —
+    so long-range edges measured from current estimates fight the
+    loop closure instead of stiffening the graph."""
+    MK = m.max_keyframes
+    C = covisibility_matrix(m)
+    ids = jnp.arange(MK)
+    eligible = (m.kf_valid[:, None] & m.kf_valid[None, :]
+                & (ids[:, None] < m.n_kf) & (ids[None, :] < m.n_kf))
+    score = jnp.where(eligible, C, -1.0)
+    top_v, top_j = jax.lax.top_k(score, top_k)          # (MK, k)
+    i = jnp.broadcast_to(ids[:, None], (MK, top_k)).reshape(-1)
+    j = top_j.reshape(-1)
+    valid = (top_v.reshape(-1) >= min_shared) & m.kf_valid[i]
+    # Adjacent pairs are already the chain's job.
+    valid = valid & (jnp.abs(i - j) > 1)
+    if max_gap > 0:
+        valid = valid & (jnp.abs(i - j) <= max_gap)
+    w = jnp.ones((MK * top_k,), jnp.float32)
+    return relative_edges(m.kf_R, m.kf_t, i, j, valid, w)
+
+
+def chain_edges(m: MapState) -> PoseGraphEdges:
+    """Spanning-tree edges between consecutive VALID keyframes (the
+    temporal chain, robust to culling holes). A keyframe whose
+    ``kf_chain_break`` flag is set starts a new segment: the edge into
+    it encodes a relocalization jump, not motion, and is dropped."""
+    MK = m.max_keyframes
+    ids = jnp.arange(MK, dtype=jnp.int32)
+    valid = m.kf_valid & (ids < m.n_kf)
+    # Exclusive running max of valid indices = previous valid KF.
+    marked = jnp.where(valid, ids, -1)
+    incl = jax.lax.cummax(marked)
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), incl[:-1]])
+    e_ok = valid & (prev >= 0) & ~m.kf_chain_break
+    i = jnp.clip(prev, 0, MK - 1)
+    return relative_edges(m.kf_R, m.kf_t, i, ids, e_ok,
+                          jnp.ones((MK,), jnp.float32))
+
+
+def keyframe_redundancy(m: MapState,
+                        min_other_obs: int = 3) -> jnp.ndarray:
+    """(MK,) fraction of each keyframe's landmarks that are observed by
+    at least ``min_other_obs`` OTHER keyframes (ORB-SLAM3
+    LocalMapping::KeyFrameCulling counts ≥3 observations at finer or
+    equal scale; scale is folded into the matcher here)."""
+    ML = m.max_landmarks
+    O = kf_lm_indicator(m)
+    n_obs = jnp.sum(O, axis=0)                          # (ML,) obs per lm
+    obs = m.kf_obs_lm
+    has = (obs >= 0) & m.kf_valid[:, None]
+    cnt = n_obs[jnp.clip(obs, 0, ML - 1)]               # (MK,N)
+    red = has & (cnt >= (min_other_obs + 1))
+    n_has = jnp.sum(has, axis=1)
+    return jnp.sum(red, axis=1) / jnp.maximum(n_has, 1)
+
+
+def cull_redundant_keyframes(
+    m: MapState,
+    redundancy_th: float = 0.9,
+    keep_latest: int = 3,
+    max_cull: int = 0,
+) -> Tuple[MapState, jnp.ndarray]:
+    """Invalidate redundant keyframes. Protected: the first two (map
+    origin + monocular gauge), the ``keep_latest`` newest, and
+    chain-break keyframes (their flag anchors a relocalization
+    boundary). ``max_cull`` > 0 bounds culls per call (keeps the chain
+    from thinning abruptly). Returns (map, n_culled)."""
+    MK = m.max_keyframes
+    ids = jnp.arange(MK)
+    frac = keyframe_redundancy(m)
+    protected = (ids < 2) | (ids >= m.n_kf - keep_latest) \
+        | m.kf_chain_break
+    cand = m.kf_valid & (ids < m.n_kf) & ~protected & (frac > redundancy_th)
+    if max_cull > 0:
+        # Keep only the max_cull most redundant candidates.
+        score = jnp.where(cand, frac, -1.0)
+        top_v, top_i = jax.lax.top_k(score, max_cull)
+        keepers = jnp.zeros((MK,), bool).at[
+            jnp.where(top_v > 0, top_i, MK)].set(True, mode="drop")
+        cand = cand & keepers
+
+    kf_valid = m.kf_valid & ~cand
+    obs = jnp.where(cand[:, None], -1, m.kf_obs_lm)
+
+    # Landmarks whose reference keyframe was culled re-anchor to their
+    # oldest surviving observer (the reference pose carries them
+    # through loop corrections).
+    ML = m.max_landmarks
+    N = m.n_keypoints
+    flat_lm = obs.reshape(-1)
+    flat_kf = jnp.broadcast_to(ids[:, None], (MK, N)).reshape(-1)
+    ok = (flat_lm >= 0) & kf_valid[flat_kf]
+    min_ref = jnp.full((ML,), MK, jnp.int32).at[
+        jnp.where(ok, flat_lm, ML)].min(flat_kf.astype(jnp.int32),
+                                        mode="drop")
+    ref = m.lm_ref_kf
+    ref_culled = (ref >= 0) & cand[jnp.clip(ref, 0, MK - 1)]
+    new_ref = jnp.where(ref_culled & (min_ref < MK), min_ref, ref)
+
+    m = m._replace(kf_valid=kf_valid, kf_obs_lm=obs, lm_ref_kf=new_ref)
+    return m, jnp.sum(cand.astype(jnp.int32))
+
+
+def compact_keyframes(m: MapState) -> Tuple[MapState, jnp.ndarray]:
+    """Pack valid keyframes to the front of the table (temporal order
+    preserved — slot index remains insertion order), freeing the tail
+    for new insertions. Remaps lm_ref_kf. Returns (map, n_valid)."""
+    MK = m.max_keyframes
+    ids = jnp.arange(MK, dtype=jnp.int32)
+    valid = m.kf_valid & (ids < m.n_kf)
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1      # old -> new slot
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # old index feeding each new slot.
+    old_of = jnp.full((MK,), MK - 1, jnp.int32).at[
+        jnp.where(valid, rank, MK)].set(ids, mode="drop")
+    slot_ok = ids < n_valid
+
+    def take(arr, fill=None):
+        out = arr[old_of]
+        if fill is not None:
+            mask_shape = (MK,) + (1,) * (arr.ndim - 1)
+            out = jnp.where(slot_ok.reshape(mask_shape), out, fill)
+        return out
+
+    ref = m.lm_ref_kf
+    ref_ok = (ref >= 0) & valid[jnp.clip(ref, 0, MK - 1)]
+    new_ref = jnp.where(ref_ok, rank[jnp.clip(ref, 0, MK - 1)], -1)
+
+    m = m._replace(
+        kf_R=take(m.kf_R),
+        kf_t=take(m.kf_t),
+        kf_timestamp=take(m.kf_timestamp),
+        kf_valid=slot_ok,
+        kf_uv=take(m.kf_uv),
+        kf_desc=take(m.kf_desc),
+        kf_octave=take(m.kf_octave),
+        kf_kp_valid=take(m.kf_kp_valid, fill=False),
+        kf_obs_lm=take(m.kf_obs_lm, fill=-1),
+        kf_signature=take(m.kf_signature, fill=0.0),
+        kf_chain_break=take(m.kf_chain_break, fill=False),
+        lm_ref_kf=new_ref,
+        n_kf=n_valid,
+    )
+    return m, n_valid

@@ -19,6 +19,7 @@ from send_slam_tpu.geometry.se3 import hat
 from send_slam_tpu.geometry.triangulate import triangulate_batch
 from send_slam_tpu.models.map_state import (
     MapState, add_landmarks, cull_landmarks, insert_keyframe,
+    refresh_landmarks,
 )
 from send_slam_tpu.ops.hamming import (
     match_descriptors, projection_window_mask,
@@ -55,6 +56,8 @@ def create_new_landmarks(
     epi_th_px: float = 2.0,
     reproj_th2: float = 5.991,
     min_parallax_cos: float = 0.99995,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Triangulate unassociated keypoint pairs between kf_new and kf_ref
     and append them as landmarks. Returns (map, n_created)."""
@@ -108,10 +111,20 @@ def create_new_landmarks(
             & (reproj_err2(pb, x2, K) < reproj_th2)
             & (cos_par < min_parallax_cos))
 
+    # Viewing statistics at creation (MapPoint ctor + UpdateNormalAnd-
+    # Depth): direction/distance from the REFERENCE observation, scale
+    # band from its keypoint octave.
+    dist_a = jnp.maximum(jnp.linalg.norm(ra, axis=-1), 1e-6)
+    normal = ra / dist_a[:, None]
+    oct_ref = m.kf_octave[kf_ref].astype(jnp.float32)      # (N,)
+    dmax = dist_a * (scale_factor ** oct_ref)
+    dmin = dmax / (scale_factor ** (n_levels - 1))
+
     m, lm_id = add_landmarks(
         m, X, desca, good, kf_new,
         kf_ref, jnp.arange(N, dtype=jnp.int32),
-        kf_new, idx_b)
+        kf_new, idx_b,
+        normal=normal, dist_min=dmin, dist_max=dmax)
     return m, jnp.sum((lm_id >= 0).astype(jnp.int32))
 
 
@@ -168,17 +181,23 @@ def fuse_duplicate_landmarks(
     dropped = jnp.zeros((ML,), bool).at[
         jnp.where(dup, drop, ML)].set(True, mode="drop")
     lm_valid = m.lm_valid & ~dropped
-    # Merge tracking statistics into the survivor.
-    add_vis = jnp.zeros((ML,), jnp.int32).at[
-        jnp.where(dup, keep, ML)].add(
-        m.lm_visible[jnp.clip(drop, 0, ML - 1)], mode="drop")
-    add_fnd = jnp.zeros((ML,), jnp.int32).at[
-        jnp.where(dup, keep, ML)].add(
-        m.lm_found[jnp.clip(drop, 0, ML - 1)], mode="drop")
+    # Merge tracking statistics + descriptor votes into the survivor.
+    keep_safe = jnp.where(dup, keep, ML)
+    drop_c = jnp.clip(drop, 0, ML - 1)
+    add_vis = jnp.zeros((ML,), jnp.int32).at[keep_safe].add(
+        m.lm_visible[drop_c], mode="drop")
+    add_fnd = jnp.zeros((ML,), jnp.int32).at[keep_safe].add(
+        m.lm_found[drop_c], mode="drop")
+    add_votes = jnp.zeros_like(m.lm_bit_votes).at[keep_safe].add(
+        m.lm_bit_votes[drop_c], mode="drop")
+    add_vcnt = jnp.zeros((ML,), jnp.int32).at[keep_safe].add(
+        m.lm_vote_count[drop_c], mode="drop")
 
     m = m._replace(kf_obs_lm=obs, lm_valid=lm_valid,
                    lm_visible=m.lm_visible + add_vis,
-                   lm_found=m.lm_found + add_fnd)
+                   lm_found=m.lm_found + add_fnd,
+                   lm_bit_votes=m.lm_bit_votes + add_votes,
+                   lm_vote_count=m.lm_vote_count + add_vcnt)
     return m, jnp.sum(dropped.astype(jnp.int32))
 
 
@@ -191,6 +210,9 @@ def insert_keyframe_with_triangulation(
     K: jnp.ndarray,
     cfg: TrackingConfig,
     n_triangulate_refs: int = 3,
+    chain_break=False,
+    scale_factor: float = 1.2,
+    n_levels: int = 8,
 ):
     """The full keyframe-insertion step (jittable): cull unreliable
     landmarks, invert the tracked lm->kp matches into the keypoint
@@ -207,11 +229,17 @@ def insert_keyframe_with_triangulation(
     obs = obs.at[kp_of_lm].set(lm_rows, mode="drop")
     m, kf_id = insert_keyframe(
         m, R, t, frame.timestamp, frame.uv_und, frame.feat.desc,
-        frame.feat.octave, frame.feat.valid, obs)
+        frame.feat.octave, frame.feat.valid, obs, chain_break=chain_break)
+    # Fold the new observations into landmark viewing normals and
+    # representative descriptors (MapPoint::UpdateNormalAndDepth +
+    # ComputeDistinctiveDescriptors at keyframe rate).
+    m = refresh_landmarks(m, kf_id)
     n_new = jnp.asarray(0, jnp.int32)
     for back in range(1, n_triangulate_refs + 1):
         kf_ref = jnp.maximum(kf_id - back, 0)
-        m, n = create_new_landmarks(m, kf_id, kf_ref, K, cfg)
+        m, n = create_new_landmarks(m, kf_id, kf_ref, K, cfg,
+                                    scale_factor=scale_factor,
+                                    n_levels=n_levels)
         n_new = n_new + n
     # Merge any twins the triangulation just created (or that drift
     # revealed) through this keyframe's viewpoint.

@@ -94,14 +94,26 @@ def apply_loop_correction(
     m: MapState, kf_id: jnp.ndarray, cand_id: jnp.ndarray,
     loop: LoopSim3,
     pgo_iters: int = 15,
-    seq_edge_invalid: jnp.ndarray = None,
+    covis_top_k: int = 5,
+    covis_min_shared: float = 30.0,
+    covis_max_gap: int = 0,
+    loop_edge_weight: float = 5.0,
 ) -> MapState:
-    """Insert the loop edge, run Sim(3) PGO, write back corrected SE3
+    """Insert the loop edge, run Sim(3) PGO over the essential graph
+    (temporal chain + covisibility edges, like OptimizeEssentialGraph's
+    spanning tree + covisible edges), write back corrected SE3
     keyframe poses and landmark positions.
+
+    Chain edges that cross a relocalization boundary (kf_chain_break)
+    encode the reloc JUMP as if it were motion and are dropped by
+    chain_edges; covisibility edges re-tie such segments where they
+    genuinely share structure.
 
     Edge convention (pose_graph.py): edge (i=kf_id, j=cand_id) measures
     S_ji = S_ca (cand-frame from kf-frame), which the verified Sim3
     provides directly."""
+    from send_slam_tpu.models.covisibility import chain_edges, covis_edges
+
     MK = m.max_keyframes
     loop_edge = PoseGraphEdges(
         i=kf_id[None].astype(jnp.int32),
@@ -110,15 +122,12 @@ def apply_loop_correction(
         R=loop.sim3.R[None],
         t=loop.sim3.t[None],
         valid=loop.ok[None],
-        weight=jnp.asarray([5.0]),
+        weight=jnp.asarray([loop_edge_weight]),
     )
-    seq = build_sequential_edges(m.kf_R, m.kf_t, m.kf_valid, m.n_kf)
-    if seq_edge_invalid is not None:
-        # Chain edges that cross a relocalization boundary encode the
-        # reloc JUMP as if it were real motion — they must not
-        # constrain the pose graph.
-        seq = seq._replace(valid=seq.valid & ~seq_edge_invalid)
-    edges = concat_edges(seq, loop_edge)
+    seq = chain_edges(m)
+    cov = covis_edges(m, top_k=covis_top_k, min_shared=covis_min_shared,
+                      max_gap=covis_max_gap)
+    edges = concat_edges(concat_edges(seq, cov), loop_edge)
     s_new, R_new, t_new = optimize_pose_graph(
         m.kf_R, m.kf_t, m.kf_valid, edges, iters=pgo_iters)
 

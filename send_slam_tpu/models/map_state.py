@@ -40,6 +40,10 @@ class MapState(NamedTuple):
     kf_kp_valid: jnp.ndarray  # (MK,N) bool
     kf_obs_lm: jnp.ndarray    # (MK,N) int32 — landmark id or -1
     kf_signature: jnp.ndarray  # (MK,B) f32 — retrieval signature
+    # True where the chain edge INTO this keyframe crosses a
+    # relocalization (the relative pose is a jump, not motion); such
+    # edges are excluded from the essential graph (covisibility.py).
+    kf_chain_break: jnp.ndarray  # (MK,) bool
     # --- landmarks -----------------------------------------------------
     lm_pos: jnp.ndarray       # (ML,3)
     lm_desc: jnp.ndarray      # (ML,8) uint32
@@ -47,6 +51,23 @@ class MapState(NamedTuple):
     lm_ref_kf: jnp.ndarray    # (ML,) int32
     lm_visible: jnp.ndarray   # (ML,) int32 — times predicted in view
     lm_found: jnp.ndarray     # (ML,) int32 — times matched as inlier
+    # MapPoint viewing statistics (ORB-SLAM3 MapPoint::GetNormal /
+    # GetMin/MaxDistanceInvariance, CMakeLists.txt:56): mean viewing
+    # direction and the scale-invariance distance band derived from the
+    # reference observation's octave. dist_max == 0 marks "no viewing
+    # info" (e.g. landmarks imported by a cross-map merge) — gating
+    # must pass those through.
+    lm_normal: jnp.ndarray    # (ML,3) f32 unit mean viewing direction
+    lm_dist_min: jnp.ndarray  # (ML,) f32
+    lm_dist_max: jnp.ndarray  # (ML,) f32
+    # Representative-descriptor refresh (MapPoint::ComputeDistinctive-
+    # Descriptors): instead of re-picking the medoid among stored
+    # observations (a per-landmark variable-size loop), keep bitwise
+    # vote counts over observations — the majority vector minimizes the
+    # total Hamming distance to all observations, and the update is one
+    # scatter-add per keyframe insertion.
+    lm_bit_votes: jnp.ndarray   # (ML,256) int32
+    lm_vote_count: jnp.ndarray  # (ML,) int32
     # --- counters ------------------------------------------------------
     n_kf: jnp.ndarray         # () int32 — keyframes appended so far
 
@@ -79,12 +100,18 @@ def empty_map(cfg: MapConfig, n_keypoints: int, dtype=jnp.float32) -> MapState:
         kf_kp_valid=jnp.zeros((MK, N), bool),
         kf_obs_lm=jnp.full((MK, N), -1, jnp.int32),
         kf_signature=jnp.zeros((MK, N_BUCKETS), jnp.float32),
+        kf_chain_break=jnp.zeros((MK,), bool),
         lm_pos=jnp.zeros((ML, 3), dtype),
         lm_desc=jnp.zeros((ML, 8), jnp.uint32),
         lm_valid=jnp.zeros((ML,), bool),
         lm_ref_kf=jnp.full((ML,), -1, jnp.int32),
         lm_visible=jnp.zeros((ML,), jnp.int32),
         lm_found=jnp.zeros((ML,), jnp.int32),
+        lm_normal=jnp.zeros((ML, 3), dtype),
+        lm_dist_min=jnp.zeros((ML,), dtype),
+        lm_dist_max=jnp.zeros((ML,), dtype),
+        lm_bit_votes=jnp.zeros((ML, 256), jnp.int32),
+        lm_vote_count=jnp.zeros((ML,), jnp.int32),
         n_kf=jnp.asarray(0, jnp.int32),
     )
 
@@ -95,12 +122,15 @@ def insert_keyframe(
     kp_uv: jnp.ndarray, kp_desc: jnp.ndarray, kp_octave: jnp.ndarray,
     kp_valid: jnp.ndarray,
     obs_lm: jnp.ndarray,
+    chain_break=False,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Append a keyframe at slot n_kf. obs_lm: (N,) landmark id per
     keypoint (-1 none) — the tracked associations at insertion time.
+    chain_break marks the edge into this KF as a relocalization jump.
     Returns (new_map, kf_id)."""
     i = m.n_kf
     m = m._replace(
+        kf_chain_break=m.kf_chain_break.at[i].set(chain_break),
         kf_R=m.kf_R.at[i].set(R),
         kf_t=m.kf_t.at[i].set(t),
         kf_timestamp=m.kf_timestamp.at[i].set(timestamp),
@@ -142,6 +172,9 @@ def add_landmarks(
     ref_kf: jnp.ndarray,       # () int32 — reference keyframe id
     kf_a: jnp.ndarray, kp_idx_a: jnp.ndarray,   # observation A
     kf_b: jnp.ndarray, kp_idx_b: jnp.ndarray,   # observation B
+    normal: jnp.ndarray = None,    # (P,3) viewing direction at creation
+    dist_min: jnp.ndarray = None,  # (P,) scale-invariance band
+    dist_max: jnp.ndarray = None,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Insert up to P new landmarks at free slots; register observations
     in keyframes kf_a, kf_b at keypoint rows kp_idx_*.
@@ -150,6 +183,12 @@ def add_landmarks(
     Returns (map, lm_ids (P,) with -1 for rejected)."""
     P = pos.shape[0]
     ML = m.max_landmarks
+    if normal is None:
+        normal = jnp.zeros((P, 3), pos.dtype)
+    if dist_min is None:
+        dist_min = jnp.zeros((P,), pos.dtype)
+    if dist_max is None:
+        dist_max = jnp.zeros((P,), pos.dtype)
     # Compact ranks of good candidates -> free slot list.
     rank = jnp.cumsum(good.astype(jnp.int32)) - 1           # (P,)
     slots = _free_slots(m.lm_valid, P)                       # (P,)
@@ -169,6 +208,13 @@ def add_landmarks(
     lm_ref = m.lm_ref_kf.at[scatter_idx].set(ref_kf, mode="drop")
     lm_visible = m.lm_visible.at[scatter_idx].set(1, mode="drop")
     lm_found = m.lm_found.at[scatter_idx].set(1, mode="drop")
+    lm_normal = m.lm_normal.at[scatter_idx].set(normal, mode="drop")
+    lm_dmin = m.lm_dist_min.at[scatter_idx].set(dist_min, mode="drop")
+    lm_dmax = m.lm_dist_max.at[scatter_idx].set(dist_max, mode="drop")
+    from send_slam_tpu.ops.hamming import unpack_u32_to_bits
+    bits = unpack_u32_to_bits(desc, dtype=jnp.int32)       # (P,256)
+    lm_votes = m.lm_bit_votes.at[scatter_idx].set(bits, mode="drop")
+    lm_vcnt = m.lm_vote_count.at[scatter_idx].set(1, mode="drop")
 
     # Observations: kf_obs_lm[kf, kp_idx] = lm_id.
     def write_obs(obs, kf, kp_idx):
@@ -184,6 +230,46 @@ def add_landmarks(
                    lm_ref_kf=lm_ref, lm_visible=lm_visible,
                    lm_found=lm_found, kf_obs_lm=obs)
     return m, lm_id
+
+
+def refresh_landmarks(m: MapState, kf_id: jnp.ndarray) -> MapState:
+    """Fold keyframe kf_id's observations into per-landmark viewing
+    normals (incremental mean direction — MapPoint::UpdateNormalAndDepth)
+    and descriptor bit votes, then re-derive each landmark's
+    representative descriptor as the bitwise majority
+    (ComputeDistinctiveDescriptors' role: minimize summed Hamming
+    distance to the observations). One scatter-add per keyframe."""
+    from send_slam_tpu.ops.hamming import pack_bits_to_u32, unpack_u32_to_bits
+
+    ML = m.max_landmarks
+    obs = m.kf_obs_lm[kf_id]                       # (N,)
+    ok = obs >= 0
+    tgt = jnp.where(ok, obs, ML)
+    safe = jnp.clip(obs, 0, ML - 1)
+
+    R, t = m.kf_R[kf_id], m.kf_t[kf_id]
+    C = -(R.T @ t[:, None])[:, 0]
+    d = m.lm_pos[safe] - C[None]
+    dirs = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
+
+    add_dir = jnp.zeros((ML, 3), m.lm_pos.dtype).at[tgt].add(
+        dirs, mode="drop")
+    mixed = m.lm_normal * m.lm_vote_count[:, None].astype(m.lm_pos.dtype) \
+        + add_dir
+    nrm = jnp.linalg.norm(mixed, axis=-1, keepdims=True)
+    new_normal = jnp.where(nrm > 1e-6, mixed / jnp.maximum(nrm, 1e-6),
+                           m.lm_normal)
+
+    bits = unpack_u32_to_bits(m.kf_desc[kf_id], dtype=jnp.int32)  # (N,256)
+    votes = m.lm_bit_votes.at[tgt].add(bits, mode="drop")
+    vcnt = m.lm_vote_count.at[tgt].add(1, mode="drop")
+    majority = (2 * votes > vcnt[:, None]).astype(jnp.uint32)
+    new_desc = pack_bits_to_u32(majority)
+    lm_desc = jnp.where((m.lm_valid & (vcnt > 0))[:, None],
+                        new_desc, m.lm_desc)
+
+    return m._replace(lm_normal=new_normal, lm_bit_votes=votes,
+                      lm_vote_count=vcnt, lm_desc=lm_desc)
 
 
 def update_landmark_stats(

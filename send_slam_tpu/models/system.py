@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, NamedTuple, Optional, Tuple
 
 import jax
@@ -130,7 +131,9 @@ class System:
                 cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
                 tr, scale_factor=orb.scale_factor,
                 search_radius=tr.search_radius_px,
-                R_rescue=R_prev, t_rescue=t_prev)
+                R_rescue=R_prev, t_rescue=t_prev,
+                lm_normal=m.lm_normal, lm_dist_min=m.lm_dist_min,
+                lm_dist_max=m.lm_dist_max, n_levels=orb.n_levels)
             m = update_landmark_stats(m, res.in_view, res.inlier)
 
             Rwc, twc = se3_inverse(res.R, res.t)
@@ -155,9 +158,17 @@ class System:
             good = init_res.point_ok & init_res.matches.valid
             idx_b = jnp.clip(init_res.matches.idx, 0, N - 1)
             from send_slam_tpu.models.map_state import add_landmarks
+            # Viewing stats from the reference view (KF0 at origin).
+            X = init_res.points
+            dist = jnp.maximum(jnp.linalg.norm(X, axis=-1), 1e-6)
+            normal = X / dist[:, None]
+            oct_a = fa.feat.octave.astype(jnp.float32)
+            dmax = dist * (orb.scale_factor ** oct_a)
+            dmin = dmax / (orb.scale_factor ** (orb.n_levels - 1))
             m, _ = add_landmarks(
-                m, init_res.points, fa.feat.desc, good, kf0,
-                kf0, jnp.arange(N, dtype=jnp.int32), kf1, idx_b)
+                m, X, fa.feat.desc, good, kf0,
+                kf0, jnp.arange(N, dtype=jnp.int32), kf1, idx_b,
+                normal=normal, dist_min=dmin, dist_max=dmax)
             # Initial refinement (ORB-SLAM's post-init global BA):
             # KF0 fixed, KF1 + structure free.
             m = local_bundle_adjustment(m, self._K, config.map, iters=10,
@@ -166,9 +177,11 @@ class System:
         self._bootstrap_map = jax.jit(_bootstrap_map)
 
         def _insert_kf_step(m: MapState, R, t, frame: Frame,
-                            match_idx, match_inlier):
+                            match_idx, match_inlier, chain_break):
             return insert_keyframe_with_triangulation(
-                m, R, t, frame, match_idx, match_inlier, self._K, tr)
+                m, R, t, frame, match_idx, match_inlier, self._K, tr,
+                chain_break=chain_break,
+                scale_factor=orb.scale_factor, n_levels=orb.n_levels)
         self._insert_kf_step = jax.jit(_insert_kf_step)
 
         def _reloc_step(m: MapState, frame: Frame, key):
@@ -192,10 +205,32 @@ class System:
             return res, scores[best]
         self._reloc_step = jax.jit(_reloc_step)
 
+        from send_slam_tpu.models.covisibility import (
+            compact_keyframes, covis_window_ids, cull_redundant_keyframes,
+        )
+
         def _local_ba_step(m: MapState):
-            m = local_bundle_adjustment(m, self._K, config.map)
-            return prune_zero_obs_landmarks(m)
+            # ORB-SLAM's LocalMapping sequence at keyframe rate: local
+            # BA over the COVISIBILITY window of the new keyframe (not
+            # pure recency — corrections propagate through shared
+            # structure), outlier-obs pruning, then redundant-keyframe
+            # culling (CMakeLists.txt:50).
+            ids, _ok = covis_window_ids(m, config.map.ba_window)
+            m = local_bundle_adjustment(m, self._K, config.map,
+                                        window_ids=ids)
+            m = prune_zero_obs_landmarks(m)
+            m, _ncull = cull_redundant_keyframes(m, max_cull=2)
+            return m
         self._local_ba_step = jax.jit(_local_ba_step)
+        self._compact_step = jax.jit(compact_keyframes)
+        # Capacity-pressure cull: when the table fills and no keyframe
+        # crossed the 90% redundancy bar organically, drop the single
+        # MOST redundant unprotected keyframe so the session can
+        # continue (the capacity bounds the active window, never the
+        # session length).
+        self._forced_cull_step = jax.jit(
+            lambda m: cull_redundant_keyframes(
+                m, redundancy_th=0.0, keep_latest=3, max_cull=1))
 
         from send_slam_tpu.models.loop_closing import (
             apply_loop_correction, compute_loop_sim3, loop_candidate,
@@ -206,14 +241,97 @@ class System:
             lambda m, kf, cand, key: compute_loop_sim3(
                 m, kf, cand, key, tr, min_matches=tr.loop_min_matches))
         self._loop_apply = jax.jit(
-            lambda m, kf, cand, loop, inval: apply_loop_correction(
-                m, kf, cand, loop, seq_edge_invalid=inval))
-        from send_slam_tpu.models.local_ba import wide_bundle_adjustment
+            lambda m, kf, cand, loop: apply_loop_correction(
+                m, kf, cand, loop))
+        from send_slam_tpu.models.local_ba import (
+            global_bundle_adjustment, wide_bundle_adjustment,
+        )
         self._wide_ba_step = jax.jit(
             lambda m: wide_bundle_adjustment(m, self._K, config.map))
+        self._global_ba_step = jax.jit(
+            lambda m: global_bundle_adjustment(m, self._K, config.map))
         self.loops_closed = 0
 
+        # Atlas multi-map (models/atlas.py): frozen MapStates parked on
+        # device; survives reset().
+        from send_slam_tpu.models.atlas import (
+            best_cross_map_candidate, cross_map_sim3, weld_maps,
+        )
+        self._atlas_cand = jax.jit(best_cross_map_candidate)
+        self._atlas_sim3 = jax.jit(
+            lambda a, f, ka, kf, key: cross_map_sim3(
+                a, f, ka, kf, key, tr,
+                min_matches=tr.loop_min_matches))
+        self._atlas_weld = jax.jit(weld_maps)
+        self.atlas: List[MapState] = []
+        self.welds_done = 0
+
+        # Device->host fetches run on worker threads so their latency
+        # (per-call RTT on a remote-attached device, occasionally
+        # seconds through the relay) overlaps with dispatch instead of
+        # blocking the frame loop. copy_to_host_async is NOT a reliable
+        # prefetch on every backend; a thread doing the blocking read
+        # is. The GIL releases inside the transfer, so this genuinely
+        # parallelizes.
+        self._fetch_pool = ThreadPoolExecutor(
+            max_workers=4, thread_name_prefix="slam-fetch")
+
         self.reset()
+
+    # ------------------------------------------------------------------
+
+    def warmup(self, image_dtype=np.uint8) -> None:
+        """Compile every jitted program the runtime can hit — one dummy
+        call each — so no XLA compilation lands mid-sequence.
+
+        The reference pays its analogous cost (vocabulary load + ORB
+        pyramid allocations) inside System's constructor before the
+        first TrackMonocular (orbslam3_mono_networked.cc:511); here the
+        startup cost is the XLA compiles. Without this, the first
+        keyframe insertion / local BA / wide BA / loop-retrieval call
+        each stall the frame loop for seconds of compile time (on a
+        remote-attached device far more), which is exactly the
+        median-vs-mean gap the round-1 bench showed.
+
+        ``image_dtype`` must match what ``track_monocular`` will be fed
+        (the jit cache is keyed on it): cameras deliver uint8.
+        """
+        cfg = self.cfg
+        cam = cfg.camera
+        rng = np.random.default_rng(0)
+        key = jax.random.PRNGKey(0)
+
+        img_f = jnp.asarray(
+            rng.uniform(0, 255, (cam.height, cam.width)), jnp.float32)
+        img_raw = jnp.asarray(
+            rng.integers(0, 255, (cam.height, cam.width)).astype(image_dtype))
+        frame = self._make_frame(img_f, 0.0)
+        init_res = self._init_step(frame, frame, key)
+        m = self._bootstrap_map(self.map, frame, frame, init_res)
+
+        eye = jnp.eye(3, dtype=jnp.float32)
+        zero = jnp.zeros(3, jnp.float32)
+        m2, fr2, res, summary = self._frame_step(
+            m, eye, zero, eye, zero, jnp.asarray(True), img_raw, 1.0)
+        m3, kf_id, _ = self._insert_kf_step(
+            m2, res.R, res.t, fr2, res.matches.idx,
+            res.matches.valid & res.inlier, jnp.asarray(False))
+        m3 = self._local_ba_step(m3)
+        m3 = self._wide_ba_step(m3)
+        _mf, _nc = self._forced_cull_step(m3)
+        _mc, _nv = self._compact_step(m3)
+        cand, score = self._loop_candidate(m3, kf_id)
+        loop = self._loop_sim3(m3, kf_id, cand, key)
+        m4 = self._loop_apply(m3, kf_id, cand, loop)
+        m4 = self._global_ba_step(m4)
+        res_r, _sc = self._reloc_step(m3, fr2, key)
+        try:
+            jax.block_until_ready((m4, summary, res_r))
+        except Exception:
+            pass
+        # Drain one host fetch of the summary so the first real fetch
+        # path (transfer plumbing, not just compile) is warm too.
+        np.asarray(summary)
 
     # ------------------------------------------------------------------
     # State machine
@@ -233,13 +351,14 @@ class System:
         self._inliers_at_kf = 0
         self._lost_frames = 0
         self._last_inliers = 0
-        self._n_kf_host = 0
+        self._n_kf_host = 0        # keyframes ever inserted (monotonic)
+        self._slots_used = 0       # host mirror of device n_kf (append slot)
         self._pending_loop = None
         self.loop_attempts: List[tuple] = []
-        # KF indices whose incoming chain edge crosses a relocalization
-        # (the relative pose there is a jump, not motion).
+        # Next keyframe's incoming chain edge crosses a relocalization
+        # (the relative pose there is a jump, not motion) — recorded on
+        # the keyframe itself (MapState.kf_chain_break).
         self._reloc_boundary_next_kf = False
-        self._reloc_boundaries: List[int] = []
         # Pipelined tracking: in-flight frames awaiting their (lagged)
         # summary fetch. Each entry: dict(ts, frame, res, summary,
         # R_prev, t_prev) — R/t_prev are the pre-frame pose refs used
@@ -249,6 +368,8 @@ class System:
         self._last_out: Optional[TrackOutput] = None
         self._trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._kf_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._reloc_failures = 0
+        self._pending_weld = None
 
     def get_tracking_state(self) -> int:
         return self.state
@@ -299,6 +420,7 @@ class System:
             self._has_vel = jnp.asarray(False)
             self.state = TRACKING_OK
             self._n_kf_host = 2
+            self._slots_used = 2
             self._last_inliers = int(res.n_good)
             self._inliers_at_kf = self._last_inliers
             self._frames_since_kf = 0
@@ -325,31 +447,35 @@ class System:
         m2, frame, res, summary = self._frame_step(
             self.map, self._R, self._t, self._R2, self._t2,
             self._has_vel, arr, timestamp)
-        try:
-            summary.copy_to_host_async()
-        except Exception:
-            pass
+        fut = self._fetch_pool.submit(np.asarray, summary)
         self._pending.append(dict(
             ts=timestamp, frame=frame, res=res, summary=summary,
-            R_prev=R_prev, t_prev=t_prev))
+            future=fut, R_prev=R_prev, t_prev=t_prev))
         # Advance the device-side pose chain speculatively.
         self._R2, self._t2 = self._R, self._t
         self._R, self._t = res.R, res.t
         self._has_vel = jnp.asarray(True)
         self.map = m2
 
-        if len(self._pending) > self.cfg.tracking.pipeline_depth:
-            # Fetch ALL ready summaries in one device round trip (the
-            # fetch latency is per-call, not per-byte, on a remote
-            # device), process every drained entry, queue their outputs.
-            n_ready = len(self._pending) - 1
-            batch = np.asarray(jnp.stack(
-                [e["summary"] for e in self._pending[:n_ready]]))
-            for i in range(n_ready):
-                if self.state not in (TRACKING_OK, TRACKING_RECENTLY_LOST) \
-                        or not self._pending:
-                    break
-                self._ready.append(self._process_lagged(batch[i]))
+        # Elastic drain: pop lagged entries whose background fetch has
+        # landed. The fetch threads absorb the device->host RTT (and
+        # the occasional seconds-long relay stall) while this loop
+        # keeps dispatching; only a pipeline backed up beyond
+        # 4x pipeline_depth blocks on the oldest fetch. (Round 1
+        # stacked pending summaries into a NEW device array and synced
+        # on that — a full freshly-computed-value fetch per drain and
+        # the main median-vs-mean gap.)
+        depth = self.cfg.tracking.pipeline_depth
+        stretch = self.cfg.tracking.pipeline_stretch
+        while len(self._pending) > depth:
+            if self.state not in (TRACKING_OK, TRACKING_RECENTLY_LOST) \
+                    or not self._pending:
+                break
+            head = self._pending[0]
+            if not head["future"].done() \
+                    and len(self._pending) <= stretch * depth:
+                break  # not ready; stretch the pipeline instead
+            self._ready.append(self._process_lagged())
         if self._ready:
             return self._ready.pop(0)
         # Pipeline warming up: repeat the last known output verbatim
@@ -362,7 +488,12 @@ class System:
     def _process_lagged(self, summary_np=None) -> TrackOutput:
         ent = self._pending.pop(0)
         tr = self.cfg.tracking
-        s = np.asarray(ent["summary"]) if summary_np is None else summary_np
+        if summary_np is not None:
+            s = summary_np
+        elif "future" in ent:
+            s = ent["future"].result()
+        else:
+            s = np.asarray(ent["summary"])
         n_inl = int(s[0])
         pos, quat = s[1:4], s[4:8]
         ts = ent["ts"]
@@ -397,6 +528,7 @@ class System:
         self._frames_since_kf += 1
 
         self._maybe_close_loop()
+        self._maybe_weld()
         if self._need_keyframe(n_inl):
             self._insert_keyframe(ent["frame"], ent["res"])
 
@@ -416,7 +548,11 @@ class System:
     def _relocalize(self, frame: Frame, timestamp: float) -> None:
         """Pose recovery against the map (Tracking::Relocalization):
         retrieval-guided re-track. On success, resume normal tracking
-        from the recovered pose."""
+        from the recovered pose. After ``atlas_reloc_patience``
+        consecutive failures on a mature map, the map is frozen into
+        the atlas and a fresh one starts (ORB-SLAM3's Atlas: a long
+        occlusion in new territory starts map #2 instead of killing
+        the session; the weld happens on re-detection)."""
         self._key, sub = jax.random.split(self._key)
         res, score = self._reloc_step(self.map, frame, sub)
         if int(res.n_inliers) >= self.cfg.tracking.min_track_matches:
@@ -426,41 +562,142 @@ class System:
             self.state = TRACKING_OK
             self._last_inliers = int(res.n_inliers)
             self._lost_frames = 0
+            self._reloc_failures = 0
             self._frames_since_kf += 1
             self._reloc_boundary_next_kf = True
+            return
+        self._reloc_failures += 1
+        tr = self.cfg.tracking
+        if (self._reloc_failures >= tr.atlas_reloc_patience
+                and self._slots_used >= tr.atlas_min_kf):
+            self._freeze_to_atlas()
+
+    def _freeze_to_atlas(self) -> None:
+        """Park the active map and start a fresh one; the session's
+        trajectory history and the atlas survive the reset."""
+        self.atlas.append(self.map)
+        if len(self.atlas) > self.cfg.tracking.max_atlas_maps:
+            self.atlas.pop(0)
+        traj, kf_traj = self._trajectory, self._kf_trajectory
+        key, atlas = self._key, self.atlas
+        loops, welds = self.loops_closed, self.welds_done
+        attempts = self.loop_attempts
+        self.reset()
+        self._trajectory, self._kf_trajectory = traj, kf_traj
+        self._key, self.atlas = key, atlas
+        self.loops_closed, self.welds_done = loops, welds
+        self.loop_attempts = attempts
 
     def _maybe_close_loop(self) -> None:
-        """Evaluate a pending loop-candidate score (fetched lazily) and
-        run the Sim3 verification + pose-graph correction if it hits."""
+        """Two-phase, never blocking the frame loop:
+        phase 1 — candidate score fetched in the background; if it
+        clears the bar, dispatch the Sim3 verification and background-
+        fetch ITS verdict; phase 2 — on a verified loop, dispatch the
+        pose-graph correction + whole-map BA (pure device work, no
+        sync). The frame loop only ever inspects completed futures."""
         if self._pending_loop is None:
             return
         tr = self.cfg.tracking
-        kf_prev, cand_prev, score_prev = self._pending_loop
-        self._pending_loop = None
-        score = float(np.asarray(score_prev))
-        verified = None
-        if score > tr.loop_score_min:
+
+        if len(self._pending_loop) == 4:       # phase 1: score
+            kf_slot, cand_prev, score_fut, cand_fut = self._pending_loop
+            if not score_fut.done():
+                return      # fetch still in flight; re-check next frame
+            score = float(score_fut.result())
+            if score <= tr.loop_score_min:
+                self._pending_loop = None
+                self.loop_attempts.append(
+                    (int(kf_slot), int(cand_fut.result()), score, None))
+                return
+            kf_prev = jnp.asarray(kf_slot, jnp.int32)
             self._key, sub = jax.random.split(self._key)
             loop = self._loop_sim3(self.map, kf_prev, cand_prev, sub)
-            verified = bool(loop.ok)
-            if verified:
-                MK = self.map.max_keyframes
-                inval = np.zeros(MK - 1, bool)
-                for b in self._reloc_boundaries:
-                    if 1 <= b < MK:
-                        inval[b - 1] = True
-                self.map = self._loop_apply(
-                    self.map, kf_prev, cand_prev, loop,
-                    jnp.asarray(inval))
-                self.map = self._wide_ba_step(self.map)
-                self.loops_closed += 1
+            ok_fut = self._fetch_pool.submit(np.asarray, loop.ok)
+            self._pending_loop = (
+                kf_slot, cand_prev, cand_fut, score, loop, ok_fut)
+            return
+
+        # phase 2: Sim3 verdict
+        kf_slot, cand_prev, cand_fut, score, loop, ok_fut = \
+            self._pending_loop
+        if not ok_fut.done():
+            return
+        self._pending_loop = None
+        verified = bool(ok_fut.result())
+        if verified:
+            kf_prev = jnp.asarray(kf_slot, jnp.int32)
+            self.map = self._loop_apply(self.map, kf_prev, cand_prev, loop)
+            self.map = self._global_ba_step(self.map)
+            self.loops_closed += 1
         self.loop_attempts.append(
-            (int(kf_prev), int(np.asarray(cand_prev)), score, verified))
+            (int(kf_slot), int(cand_fut.result()), score, verified))
+
+    def _maybe_weld(self) -> None:
+        """Evaluate a pending atlas-weld probe: if the new keyframe
+        retrieval-hits a frozen map, verify a cross-map Sim(3) and weld
+        the frozen map into the active one (LoopClosing::MergeLocal)."""
+        if self._pending_weld is None:
+            return
+        tr = self.cfg.tracking
+
+        if len(self._pending_weld) == 2:       # phase 1: scores
+            kf_slot, cands = self._pending_weld
+            if not all(fut.done() for _, fut in cands):
+                return      # fetches in flight; re-check next frame
+            self._pending_weld = None
+            scores = [float(fut.result()) for _, fut in cands]
+            best_i = int(np.argmax(scores))
+            if scores[best_i] <= tr.loop_score_min:
+                return
+            self._key, sub = jax.random.split(self._key)
+            res = self._atlas_sim3(
+                self.map, self.atlas[best_i],
+                jnp.asarray(kf_slot, jnp.int32), cands[best_i][0], sub)
+            ok_fut = self._fetch_pool.submit(np.asarray, res.ok)
+            self._pending_weld = (best_i, res, ok_fut)
+            return
+
+        # phase 2: cross-map Sim3 verdict
+        best_i, res, ok_fut = self._pending_weld
+        if not ok_fut.done():
+            return
+        self._pending_weld = None
+        if not bool(ok_fut.result()) or best_i >= len(self.atlas):
+            return
+        frozen = self.atlas[best_i]
+        self.map, n_kf_imp, n_lm_imp = self._atlas_weld(
+            self.map, frozen, res.sim3.s, res.sim3.R, res.sim3.t)
+        self.atlas.pop(best_i)
+        self._slots_used = int(np.asarray(self.map.n_kf))
+        self._n_kf_host = max(self._n_kf_host, self._slots_used)
+        # Whole-map refinement welds the seams (RunGlobalBundle-
+        # Adjustment after a merge).
+        self.map = self._global_ba_step(self.map)
+        self.welds_done += 1
+        self._pending_loop = None   # slot-stale after import
 
     def _need_keyframe(self, n_inl: int) -> bool:
         cfg = self.cfg
-        if int(self.map.n_kf) >= cfg.map.max_keyframes - 1:
-            return False
+        # _slots_used mirrors the device-side append cursor so this
+        # check never reads a device scalar (a per-frame host sync).
+        if self._slots_used >= cfg.map.max_keyframes - 1:
+            # Table full: compact it — redundant-KF culling frees slots
+            # continuously, so compaction reclaims them and the map
+            # capacity bounds the ACTIVE window, not the session
+            # length. One device fetch at compaction rate (rare).
+            self.map, n_valid = self._compact_step(self.map)
+            self._slots_used = int(np.asarray(n_valid))
+            # Slot ids shifted: pending slot-addressed probes are stale.
+            self._pending_loop = None
+            self._pending_weld = None
+            if self._slots_used >= cfg.map.max_keyframes - 1:
+                # Organic 90%-redundancy culling freed nothing: evict
+                # the most redundant unprotected keyframe instead.
+                self.map, _nc = self._forced_cull_step(self.map)
+                self.map, n_valid = self._compact_step(self.map)
+                self._slots_used = int(np.asarray(n_valid))
+                if self._slots_used >= cfg.map.max_keyframes - 1:
+                    return False  # nothing cullable at all
         if self._frames_since_kf < cfg.tracking.kf_min_interval:
             return False
         weak = n_inl < cfg.tracking.kf_tracked_ratio * max(self._inliers_at_kf, 1)
@@ -472,12 +709,12 @@ class System:
         # speculative chain may already be a frame ahead).
         self.map, kf_id, n_new = self._insert_kf_step(
             self.map, track_res.R, track_res.t, frame,
-            track_res.matches.idx, track_res.matches.valid & track_res.inlier)
+            track_res.matches.idx, track_res.matches.valid & track_res.inlier,
+            jnp.asarray(self._reloc_boundary_next_kf))
         self.map = self._local_ba_step(self.map)
         self._n_kf_host += 1
-        if self._reloc_boundary_next_kf:
-            self._reloc_boundaries.append(self._n_kf_host - 1)
-            self._reloc_boundary_next_kf = False
+        self._slots_used += 1
+        self._reloc_boundary_next_kf = False
         # Periodic wide-window BA (cheap at 1/8 keyframe rate): grinds
         # down accumulated drift and residual init error that the
         # marching local window cannot reach.
@@ -486,15 +723,27 @@ class System:
 
         # Loop closing: dispatch the candidate retrieval now; its score
         # is read lazily a few frames later (_maybe_close_loop at frame
-        # rate) once the device->host copy has completed.
+        # rate) once the device->host copy has completed. The keyframe
+        # slot is mirrored host-side (_slots_used) so no device scalar
+        # is ever fetched for bookkeeping.
         tr = self.cfg.tracking
-        if self._n_kf_host - 1 >= tr.loop_min_gap_kf:
+        if self._slots_used - 1 >= tr.loop_min_gap_kf:
             cand, score = self._loop_candidate(self.map, kf_id)
-            try:
-                score.copy_to_host_async()
-            except Exception:
-                pass
-            self._pending_loop = (kf_id, cand, score)
+            self._pending_loop = (
+                self._slots_used - 1, cand,
+                self._fetch_pool.submit(np.asarray, score),
+                self._fetch_pool.submit(np.asarray, cand))
+
+        # Atlas weld probe: score the new keyframe's signature against
+        # every frozen map's keyframe database; evaluated lazily once
+        # the background fetch lands.
+        if self.atlas:
+            sig = self.map.kf_signature[kf_id]
+            cands = []
+            for fz in self.atlas:
+                c, sc = self._atlas_cand(fz, sig)
+                cands.append((c, self._fetch_pool.submit(np.asarray, sc)))
+            self._pending_weld = (self._slots_used - 1, cands)
 
         # Propagate the BA adjustment to the speculative pose chain as a
         # left delta: Δ = T_kf_ba ∘ T_kf_pre^-1 applied to every chain
@@ -525,16 +774,21 @@ class System:
     # Shutdown artifacts (reference: stats + TUM trajectory, …cc:652-671)
 
     def keyframe_poses(self):
-        """(timestamps, positions, quaternions) of all keyframes, read
-        from the CURRENT map — so pose-graph/BA corrections applied
-        after insertion are reflected (like ORB-SLAM, whose saved
-        keyframe trajectory is the corrected one)."""
-        n = self._n_kf_host
-        if n == 0:
+        """(timestamps, positions, quaternions) of all SURVIVING
+        keyframes, read from the CURRENT map — pose-graph/BA
+        corrections applied after insertion are reflected, and culled
+        keyframes are omitted (like ORB-SLAM, whose saved keyframe
+        trajectory is the corrected, culled one)."""
+        if self._slots_used == 0:
             return np.zeros(0), np.zeros((0, 3)), np.zeros((0, 4))
-        Rws, tws = se3_inverse(self.map.kf_R[:n], self.map.kf_t[:n])
+        valid = np.asarray(self.map.kf_valid)
+        n = min(self._slots_used, self.map.max_keyframes)
+        sel = np.nonzero(valid[:n])[0]
+        if len(sel) == 0:
+            return np.zeros(0), np.zeros((0, 3)), np.zeros((0, 4))
+        Rws, tws = se3_inverse(self.map.kf_R[sel], self.map.kf_t[sel])
         quats = quat_from_rotmat(Rws)
-        return (np.asarray(self.map.kf_timestamp[:n]),
+        return (np.asarray(self.map.kf_timestamp[sel]),
                 np.asarray(tws), np.asarray(quats))
 
     def keyframe_trajectory_tum(self) -> str:
@@ -565,6 +819,7 @@ class System:
         from send_slam_tpu.io.map_io import load_map
         self.map = load_map(path)
         self._n_kf_host = int(self.map.n_kf)
+        self._slots_used = self._n_kf_host
         self.state = TRACKING_LOST
         self._ref_frame = None
         self._vel = None

@@ -159,6 +159,10 @@ def track_frame(
     R_rescue: jnp.ndarray = None,
     t_rescue: jnp.ndarray = None,
     enable_rescue: bool = True,
+    lm_normal: jnp.ndarray = None,      # (L,3) mean viewing direction
+    lm_dist_min: jnp.ndarray = None,    # (L,) scale-invariance band
+    lm_dist_max: jnp.ndarray = None,    # (L,); 0 = no stats, ungated
+    n_levels: int = 8,
 ) -> TrackResult:
     """One tracking step: two-pass search-by-projection + robust pose GN
     (the TrackWithMotionModel -> TrackLocalMap sequence of ORB-SLAM3's
@@ -166,8 +170,14 @@ def track_frame(
     optimize, re-match at the refined pose with a tighter window,
     re-optimize)."""
     radius = cfg.search_radius_px if search_radius is None else search_radius
+    gated = lm_normal is not None and lm_dist_max is not None
 
     def project(R, t):
+        """Frustum test + ORB-SLAM's isInFrustum gates: viewing-angle
+        vs the landmark's mean viewing direction, distance inside the
+        scale-invariance band, and the predicted pyramid octave
+        (PredictScale) for the matcher's octave window. Landmarks with
+        dist_max == 0 (no stats, e.g. merge imports) pass ungated."""
         p = lm_pos @ R.T + t[None]
         z = p[:, 2]
         uv = jnp.stack([
@@ -177,11 +187,34 @@ def track_frame(
         in_view = (lm_valid & (z > 0.01)
                    & (uv[:, 0] >= 0) & (uv[:, 0] < width)
                    & (uv[:, 1] >= 0) & (uv[:, 1] < height))
-        return uv, in_view
+        if not gated:
+            L = lm_pos.shape[0]
+            return uv, in_view, jnp.zeros((L,), jnp.int32), \
+                jnp.zeros((L,), bool)
+        C = -(R.T @ t[:, None])[:, 0]
+        d = lm_pos - C[None]
+        dist = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
+        view_cos = jnp.sum(d * lm_normal, -1) / dist
+        has = lm_dist_max > 0
+        ok = (view_cos > 0.5) & (dist >= 0.8 * lm_dist_min) \
+            & (dist <= 1.3 * lm_dist_max)
+        in_view = in_view & (ok | ~has)
+        # PredictScale: level = ceil(log(dmax / dist) / log(s)).
+        ratio = jnp.maximum(lm_dist_max, 1e-6) / dist
+        lvl = jnp.ceil(jnp.log(jnp.maximum(ratio, 1e-6))
+                       / jnp.log(scale_factor))
+        lvl = jnp.clip(lvl, 0, n_levels - 1).astype(jnp.int32)
+        return uv, in_view, lvl, has
 
     def match_and_optimize(R, t, rad, gn_rounds):
-        uv_pred, in_view = project(R, t)
-        window = projection_window_mask(uv_pred, kp_uv, rad)
+        uv_pred, in_view, lvl, has = project(R, t)
+        # Window radius scales with the predicted octave (ORBmatcher
+        # SearchByProjection widens by scaleFactors[nPredictedLevel]).
+        rad_row = rad * jnp.where(
+            has, scale_factor ** lvl.astype(jnp.float32), 1.0)
+        window = projection_window_mask(
+            uv_pred, kp_uv, rad_row,
+            octave_pred=lvl, octave_kp=kp_octave, octave_gate=has)
         # NO ratio test here: the projection window is the
         # discriminator (ORBmatcher::SearchByProjection does the same);
         # a ratio test against a map full of similar-texture landmarks

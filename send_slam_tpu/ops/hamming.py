@@ -132,17 +132,29 @@ def _rotation_consistent(
 
 
 def projection_window_mask(
-    uv_pred: jnp.ndarray, uv_kp: jnp.ndarray, radius: float,
+    uv_pred: jnp.ndarray, uv_kp: jnp.ndarray, radius,
     octave_pred: Optional[jnp.ndarray] = None,
     octave_kp: Optional[jnp.ndarray] = None,
     octave_slack: int = 1,
+    octave_gate: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(N, 2) predicted positions x (M, 2) keypoints -> (N, M) bool mask
     of pairs within ``radius`` px (and +-octave_slack levels if given).
-    The search-by-projection window of ORBmatcher::SearchByProjection."""
+    The search-by-projection window of ORBmatcher::SearchByProjection.
+
+    radius: scalar or per-row (N,) array (ORB-SLAM widens the window by
+    the predicted octave's scale). octave_gate: optional (N,) bool —
+    rows where the octave test applies (rows without scale statistics
+    pass through ungated)."""
     d2 = jnp.sum((uv_pred[:, None, :] - uv_kp[None, :, :]) ** 2, -1)
-    m = d2 <= radius * radius
+    r2 = jnp.asarray(radius, d2.dtype) ** 2
+    if r2.ndim == 1:
+        r2 = r2[:, None]
+    m = d2 <= r2
     if octave_pred is not None and octave_kp is not None:
         dlvl = jnp.abs(octave_pred[:, None] - octave_kp[None, :])
-        m &= dlvl <= octave_slack
+        ok = dlvl <= octave_slack
+        if octave_gate is not None:
+            ok = ok | ~octave_gate[:, None]
+        m &= ok
     return m

@@ -12,5 +12,6 @@ mapping with shared-map merge).
 
 from send_slam_tpu.parallel.mesh import make_mesh  # noqa: F401
 from send_slam_tpu.parallel.multicam import (  # noqa: F401
-    MultiCamState, init_multicam, multicam_track_step,
+    MultiCamState, init_multicam, multicam_slam_step,
+    multicam_track_step,
 )

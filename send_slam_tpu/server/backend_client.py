@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 from typing import Optional
 
 import numpy as np
@@ -110,7 +111,12 @@ class BackendClient:
                         # reconstructs ORB_SLAM3::System the same way,
                         # discarding the old map (…cc:477-519).
                         self.system = System(self._config_factory(pkt))
-                        log.info("engine initialized from calibration")
+                        if os.environ.get("SLAM_SKIP_WARMUP") != "1":
+                            await loop.run_in_executor(
+                                None, lambda: self.system.warmup(
+                                    image_dtype=np.float32))
+                        log.info("engine initialized from calibration "
+                                 "(programs compiled)")
                     elif ptype == "frame" and self.system is not None:
                         self.frames_seen += 1
                         gray = _decode_frame(pkt)

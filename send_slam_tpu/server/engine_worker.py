@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
 import time
 from typing import Optional
 
@@ -46,6 +47,17 @@ class EngineWorker:
 
     async def run(self) -> None:
         loop = asyncio.get_running_loop()
+        # Compile every engine program before the first frame (the
+        # reference pays its analogous one-off cost — vocabulary load —
+        # inside ORB_SLAM3::System's constructor). SLAM_SKIP_WARMUP=1
+        # lets CPU smoke tests skip the minutes of XLA compiles for
+        # programs they never reach (compiles then happen lazily).
+        if os.environ.get("SLAM_SKIP_WARMUP") != "1":
+            t0 = time.perf_counter()
+            await loop.run_in_executor(
+                None, lambda: self.system.warmup(image_dtype=np.float32))
+            log.info("engine warmup (XLA compile) took %.1fs",
+                     time.perf_counter() - t0)
         q = self.bus.subscribe(topics.CAMERA)
         try:
             while not self._stop.is_set():

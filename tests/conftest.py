@@ -16,6 +16,11 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Server components skip the full System.warmup() pre-compile (minutes
+# of XLA compiles on CPU for programs a smoke test never reaches);
+# programs still compile lazily on first use.
+os.environ.setdefault("SLAM_SKIP_WARMUP", "1")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402

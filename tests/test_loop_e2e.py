@@ -42,7 +42,7 @@ def test_loop_closes_on_revisit():
                             fx=world.fx, fy=world.fy,
                             cx=world.cx, cy=world.cy),
         map=MapConfig(max_keyframes=64, max_landmarks=4096, ba_window=4),
-        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=2,
+        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=2, pipeline_stretch=1,
                                 loop_min_gap_kf=10),
     )
     ts, Rs, tls = out_and_back()
@@ -63,8 +63,61 @@ def test_loop_closes_on_revisit():
     # pose-graph correction — the TUM-benchmark convention).
     kts, kpos, _ = sys_.keyframe_poses()
     err = ate_rmse(kts, kpos, ts, np.asarray(gt_pos))
-    # Round-1 bar: the loop must close and keep the corrected keyframe
-    # trajectory bounded (raw odometry on this aliasing-heavy synthetic
-    # world drifts ~0.7 without it). Tightening to <0.25 is round-2
-    # work (projection-based loop verification, stronger mid-loop BA).
+    # Round-2 target (VERDICT item 5) is < 0.25; currently at ~0.60 —
+    # the covisibility edges between the outbound and return legs are
+    # measured from DRIFTED pose estimates and fight the loop edge
+    # (under investigation). Bar set at the round-1 level meanwhile.
     assert err < 0.65, err
+
+
+@pytest.mark.slow
+def test_long_loop_with_branch():
+    """Out, a mid-sequence branch excursion, then back to the start:
+    corrections must propagate through covisibility structure, not just
+    the sequential chain (VERDICT round-1 item 5's done-bar)."""
+    world = SyntheticWorld(n_points=800, seed=9)
+    cfg = EngineConfig(
+        orb=OrbConfig(n_features=512, n_levels=4),
+        camera=CameraConfig(width=world.W, height=world.H,
+                            fx=world.fx, fy=world.fy,
+                            cx=world.cx, cy=world.cy),
+        map=MapConfig(max_keyframes=64, max_landmarks=4096, ba_window=4),
+        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=2, pipeline_stretch=1,
+                                loop_min_gap_kf=10),
+    )
+    n_frames, fps = 260, 30.0
+    ts, Rs, tls = [], [], []
+    for k in range(n_frames):
+        a = k / (n_frames - 1)
+        # Piecewise: out (0-0.35), branch up/down (0.35-0.6),
+        # return (0.6-0.93), hold (tail).
+        if a < 0.35:
+            x, y = 1.6 * (a / 0.35), 0.0
+        elif a < 0.6:
+            b = (a - 0.35) / 0.25
+            x, y = 1.6, 0.5 * np.sin(np.pi * b)
+        elif a < 0.93:
+            b = (a - 0.6) / 0.33
+            x, y = 1.6 * (1 - b), 0.0
+        else:
+            x, y = 0.0, 0.0
+        yaw = -0.1 * x / 1.6
+        c = np.array([x, y, 0.0])
+        Rwc = Rotation.from_euler("y", yaw).as_matrix()
+        R = Rwc.T
+        ts.append(k / fps)
+        Rs.append(R)
+        tls.append(-R @ c)
+    ts = np.asarray(ts)
+
+    sys_ = System(cfg)
+    n_ok = 0
+    for k in range(n_frames):
+        out = sys_.track_monocular(world.render(Rs[k], tls[k]), float(ts[k]))
+        n_ok += out.tracking_state == 2
+    assert n_ok > 120, n_ok
+    assert sys_.loops_closed >= 1, sys_.loop_attempts[-5:]
+    gt_pos = [-R.T @ t for R, t in zip(Rs, tls)]
+    kts, kpos, _ = sys_.keyframe_poses()
+    err = ate_rmse(kts, kpos, ts, np.asarray(gt_pos))
+    assert err < 0.3, err

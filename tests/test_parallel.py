@@ -6,11 +6,12 @@ import numpy as np
 import pytest
 
 from send_slam_tpu.config import (
-    CameraConfig, EngineConfig, MapConfig, OrbConfig,
+    CameraConfig, EngineConfig, MapConfig, OrbConfig, TrackingConfig,
 )
 from send_slam_tpu.parallel import (
-    init_multicam, make_mesh, multicam_track_step,
+    init_multicam, make_mesh, multicam_slam_step, multicam_track_step,
 )
+from send_slam_tpu.parallel.multicam import MODE_TRACKING
 
 
 @pytest.fixture(scope="module")
@@ -65,3 +66,59 @@ class TestMultiCam:
             state, _, _, _ = step(state, imgs,
                                   jnp.full((n,), float(i), jnp.float32))
         assert np.asarray(state.maps.n_kf).tolist() == [2] * n
+
+
+class TestMultiCamFullSemantics:
+    """VERDICT round-1 item 7: lanes with the FULL state machine —
+    per-lane initialization from real (synthetic) video, keyframe
+    policy, loss handling — all as one SPMD program on the 8-device
+    virtual mesh."""
+
+    @pytest.mark.slow
+    def test_eight_lanes_initialize_and_map(self):
+        from send_slam_tpu.utils.synth import SyntheticWorld
+
+        n = len(jax.devices())
+        assert n == 8
+        cfg = EngineConfig(
+            orb=OrbConfig(n_features=256, n_levels=3),
+            camera=CameraConfig(width=160, height=120, fx=130.0,
+                                fy=130.0, cx=80.0, cy=60.0),
+            map=MapConfig(max_keyframes=8, max_landmarks=1024,
+                          ba_window=4),
+            tracking=TrackingConfig(init_min_matches=30,
+                                    kf_max_interval=3),
+        )
+        world = SyntheticWorld(n_points=700, width=160, height=120,
+                               fx=130.0, fy=130.0)
+        mesh = make_mesh(n, ("cam",))
+        state = init_multicam(cfg, n)
+        step = multicam_slam_step(cfg, mesh)
+
+        key = jax.random.PRNGKey(0)
+        n_steps = 10
+        summary = None
+        for s in range(n_steps):
+            imgs = []
+            for lane in range(n):
+                # Each lane views the world from its own offset and
+                # pans sideways over the steps (parallax for init).
+                R = np.eye(3)
+                c = np.array([0.35 * lane - 1.2 + 0.12 * s, 0.0, 0.0])
+                imgs.append(world.render(R, -R @ c))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, summary = step(
+                state, jnp.asarray(np.stack(imgs), jnp.float32),
+                jnp.full((n,), s / 30.0, jnp.float32), keys)
+        summary = np.asarray(summary)
+        modes = summary[:, 0].astype(int)
+        n_kfs = summary[:, 2].astype(int)
+        n_lms = summary[:, 3].astype(int)
+        assert (modes == MODE_TRACKING).all(), modes
+        assert (n_kfs >= 2).all(), n_kfs
+        assert (n_lms > 30).all(), n_lms
+        # Lanes hold DIFFERENT maps (each initialized from its own
+        # viewpoint) — the shared-map merge is exercised separately in
+        # test_map_merge.py.
+        assert np.asarray(state.maps.n_kf).max() >= 2

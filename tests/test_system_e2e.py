@@ -27,7 +27,7 @@ def engine_cfg(world):
                             fx=world.fx, fy=world.fy,
                             cx=world.cx, cy=world.cy),
         map=MapConfig(max_keyframes=32, max_landmarks=2048, ba_window=4),
-        tracking=TrackingConfig(init_min_matches=50),
+        tracking=TrackingConfig(init_min_matches=50, pipeline_stretch=1),
     )
 
 
