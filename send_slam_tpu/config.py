@@ -118,8 +118,14 @@ class TrackingConfig:
     # fetch. 1 = no stretching: pop (blocking) as soon as the pipeline
     # exceeds depth — deterministic drain order, what CPU tests want.
     pipeline_stretch: int = 4
-    # Pose-only Gauss-Newton
-    pose_gn_iters: int = 10
+    # Pose-only Gauss-Newton: inner linearizations per round (rounds:
+    # 2 wide-window + 4 tight-window, with chi2 outlier
+    # reclassification between rounds — g2o PoseOptimization's
+    # structure). NOTE a trimmed 3-step schedule was tried and reverted:
+    # track_frame cost is dominated by the two matching passes (the GN
+    # chain is latency-noise on TPU), while marginal-tracking scenarios
+    # (long-session capacity churn, branch loops) measurably degraded.
+    pose_gn_inner: int = 5
     huber_delta: float = 2.447      # sqrt(5.991) px, chi2 95% 2-dof
     min_track_matches: int = 15
     # Keyframe policy

@@ -34,8 +34,11 @@ def loop_candidate(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Best retrieval candidate for keyframe kf_id, excluding temporal
     neighbours. Returns (cand_id, score)."""
+    from send_slam_tpu.models.retrieval import idf_weights
+
     query = m.kf_signature[kf_id]
-    scores = retrieval_scores(m.kf_signature, query)      # (MK,)
+    idf = idf_weights(m.kf_signature, m.kf_valid)
+    scores = retrieval_scores(m.kf_signature, query, idf=idf)  # (MK,)
     ids = jnp.arange(m.max_keyframes)
     ok = m.kf_valid & (jnp.abs(ids - kf_id) >= min_gap)
     scores = jnp.where(ok, scores, -1.0)

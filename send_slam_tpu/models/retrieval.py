@@ -41,9 +41,39 @@ def frame_signature(desc_u32: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     onehot_idx = jnp.where(valid, bucket, N_BUCKETS)      # drop invalid
     hist = jnp.zeros((N_BUCKETS,), jnp.float32).at[onehot_idx].add(
         1.0, mode="drop")
+    # Hellinger (sqrt) embedding before L2 normalization: repeated
+    # texture inflates a few buckets far beyond their discriminative
+    # value (descriptor burstiness); sqrt compresses heavy buckets so
+    # the cosine compares bucket SUPPORT more than raw mass — the
+    # standard burstiness fix in BoW retrieval, done here without any
+    # vocabulary statistics.
+    hist = jnp.sqrt(hist)
     return hist / jnp.maximum(jnp.linalg.norm(hist), 1e-9)
 
 
-def retrieval_scores(signatures: jnp.ndarray, query: jnp.ndarray) -> jnp.ndarray:
-    """(MK, N_BUCKETS) database vs (N_BUCKETS,) query -> (MK,) cosine."""
-    return signatures @ query
+def retrieval_scores(signatures: jnp.ndarray, query: jnp.ndarray,
+                     idf: jnp.ndarray = None) -> jnp.ndarray:
+    """(MK, N_BUCKETS) database vs (N_BUCKETS,) query -> (MK,) cosine.
+
+    idf: optional (N_BUCKETS,) weights (idf_weights): buckets hit by
+    most keyframes (floor texture, repeated structure) stop dominating
+    the score — DBoW2's tf-idf, recomputed on the fly from the live
+    keyframe table instead of an offline corpus."""
+    if idf is None:
+        return signatures @ query
+    wq = query * idf
+    wk = signatures * idf[None, :]
+    num = wk @ wq
+    den = jnp.linalg.norm(wk, axis=1) * jnp.maximum(
+        jnp.linalg.norm(wq), 1e-9)
+    return num / jnp.maximum(den, 1e-9)
+
+
+def idf_weights(signatures: jnp.ndarray,
+                kf_valid: jnp.ndarray) -> jnp.ndarray:
+    """(MK, N_BUCKETS) signatures + (MK,) validity -> (N_BUCKETS,)
+    inverse-document-frequency weights over the LIVE keyframe set."""
+    present = (signatures > 0) & kf_valid[:, None]
+    df = jnp.sum(present.astype(jnp.float32), axis=0)
+    n = jnp.maximum(jnp.sum(kf_valid.astype(jnp.float32)), 1.0)
+    return jnp.log1p(n / (1.0 + df))

@@ -598,10 +598,15 @@ class System:
         if self._pending_loop is None:
             return
         tr = self.cfg.tracking
+        # pipeline_stretch == 1 is the fully-synchronous mode (CPU
+        # tests): probe phases resolve immediately instead of when
+        # their background fetch happens to land, so run-to-run
+        # behavior does not depend on machine load.
+        sync = tr.pipeline_stretch <= 1
 
         if len(self._pending_loop) == 4:       # phase 1: score
             kf_slot, cand_prev, score_fut, cand_fut = self._pending_loop
-            if not score_fut.done():
+            if not (sync or score_fut.done()):
                 return      # fetch still in flight; re-check next frame
             score = float(score_fut.result())
             if score <= tr.loop_score_min:
@@ -620,7 +625,7 @@ class System:
         # phase 2: Sim3 verdict
         kf_slot, cand_prev, cand_fut, score, loop, ok_fut = \
             self._pending_loop
-        if not ok_fut.done():
+        if not (sync or ok_fut.done()):
             return
         self._pending_loop = None
         verified = bool(ok_fut.result())
@@ -639,10 +644,11 @@ class System:
         if self._pending_weld is None:
             return
         tr = self.cfg.tracking
+        sync = tr.pipeline_stretch <= 1
 
         if len(self._pending_weld) == 2:       # phase 1: scores
             kf_slot, cands = self._pending_weld
-            if not all(fut.done() for _, fut in cands):
+            if not (sync or all(fut.done() for _, fut in cands)):
                 return      # fetches in flight; re-check next frame
             self._pending_weld = None
             scores = [float(fut.result()) for _, fut in cands]
@@ -659,7 +665,7 @@ class System:
 
         # phase 2: cross-map Sim3 verdict
         best_i, res, ok_fut = self._pending_weld
-        if not ok_fut.done():
+        if not (sync or ok_fut.done()):
             return
         self._pending_weld = None
         if not bool(ok_fut.result()) or best_i >= len(self.atlas):

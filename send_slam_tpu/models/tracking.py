@@ -9,9 +9,10 @@ jitted step over fixed-capacity arrays:
 1. predict pose with the constant-velocity motion model,
 2. project map landmarks, mask a search window, Hamming-match on the
    MXU (ops/hamming.py),
-3. 4 rounds of Huber-weighted Gauss-Newton on the 6-DoF pose with
-   chi-squared outlier reclassification between rounds (the same
-   schedule as g2o's PoseOptimization: 4 x 10 iterations, chi2 5.991).
+3. rounds of Huber-weighted Gauss-Newton on the 6-DoF pose with
+   chi-squared outlier reclassification between rounds (the structure
+   of g2o's PoseOptimization: 2x5 wide + 4x5 tight across the two
+   passes, chi2 5.991).
 
 The normal equations are a single (N,2,6) batched Jacobian contraction
 into a 6x6 solve — dense, tiny, and entirely on-device.
@@ -230,7 +231,7 @@ def track_frame(
         opt = pose_only_gn(R, t, lm_pos, uv_obs, m.valid,
                            fx, fy, cx, cy, sigma2=sigma2,
                            huber_delta=cfg.huber_delta,
-                           iters=cfg.pose_gn_iters // 2, rounds=gn_rounds)
+                           iters=cfg.pose_gn_inner, rounds=gn_rounds)
         return m, opt, in_view
 
     # Pass 1: wide window at the motion-model prediction.

@@ -1,0 +1,160 @@
+"""Bundle adjustment unit tests against a synthetic ground-truth map:
+noise injected into poses + landmarks must shrink back (local, wide
+window, and whole-map global BA share one engine), and gross outlier
+observations must be pruned (ORB-SLAM's post-BA erase)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from send_slam_tpu.config import MapConfig
+from send_slam_tpu.models.local_ba import (
+    global_bundle_adjustment, local_bundle_adjustment,
+)
+from send_slam_tpu.models.map_state import empty_map
+
+RNG = np.random.default_rng(7)
+FX = FY = 260.0
+CX, CY = 160.0, 120.0
+K = jnp.asarray([[FX, 0, CX], [0, FY, CY], [0, 0, 1]], jnp.float32)
+
+
+def _rotz(a):
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def make_problem(n_kf=6, n_lm=80, n_kp=128, mk=8, ml=256,
+                 pose_noise=0.03, lm_noise=0.05):
+    """Ground-truth cameras on a small arc, landmarks in front; every
+    keyframe observes every landmark (perfect projections)."""
+    cfg = MapConfig(max_keyframes=mk, max_landmarks=ml, ba_window=n_kf)
+    m = empty_map(cfg, n_kp)
+
+    X_gt = np.stack([RNG.uniform(-2, 2, n_lm), RNG.uniform(-1.5, 1.5, n_lm),
+                     RNG.uniform(4, 9, n_lm)], -1).astype(np.float32)
+    Rs, ts_ = [], []
+    for k in range(n_kf):
+        Rk = _rotz(0.02 * k)
+        ck = np.array([0.25 * k, 0.05 * k, 0.0], np.float32)
+        Rs.append(Rk)
+        ts_.append(-Rk @ ck)
+
+    kf_R = np.tile(np.eye(3, dtype=np.float32), (mk, 1, 1))
+    kf_t = np.zeros((mk, 3), np.float32)
+    kf_uv = np.zeros((mk, n_kp, 2), np.float32)
+    kf_obs = np.full((mk, n_kp), -1, np.int32)
+    kf_kpv = np.zeros((mk, n_kp), bool)
+    kf_valid = np.zeros((mk,), bool)
+    for k in range(n_kf):
+        p = X_gt @ Rs[k].T + ts_[k]
+        uv = np.stack([FX * p[:, 0] / p[:, 2] + CX,
+                       FY * p[:, 1] / p[:, 2] + CY], -1)
+        kf_uv[k, :n_lm] = uv
+        kf_obs[k, :n_lm] = np.arange(n_lm)
+        kf_kpv[k, :n_lm] = True
+        kf_valid[k] = True
+        kf_R[k] = Rs[k]
+        kf_t[k] = ts_[k]
+
+    # Perturb everything BA is allowed to move: poses beyond the two
+    # anchors, and all landmark positions.
+    kf_R_n = kf_R.copy()
+    kf_t_n = kf_t.copy()
+    for k in range(2, n_kf):
+        dR = _rotz(RNG.normal(0, pose_noise))
+        kf_R_n[k] = dR @ kf_R[k]
+        kf_t_n[k] = kf_t[k] + RNG.normal(0, pose_noise, 3).astype(np.float32)
+    X_n = X_gt + RNG.normal(0, lm_noise, X_gt.shape).astype(np.float32)
+
+    lm_valid = np.zeros((ml,), bool)
+    lm_valid[:n_lm] = True
+    lm_pos = np.zeros((ml, 3), np.float32)
+    lm_pos[:n_lm] = X_n
+
+    m = m._replace(
+        kf_R=jnp.asarray(kf_R_n), kf_t=jnp.asarray(kf_t_n),
+        kf_valid=jnp.asarray(kf_valid), kf_uv=jnp.asarray(kf_uv),
+        kf_obs_lm=jnp.asarray(kf_obs), kf_kp_valid=jnp.asarray(kf_kpv),
+        lm_pos=jnp.asarray(lm_pos), lm_valid=jnp.asarray(lm_valid),
+        n_kf=jnp.asarray(n_kf, jnp.int32))
+    return m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf
+
+
+def pose_err(m, kf_R, kf_t, n_kf):
+    dR = np.asarray(m.kf_R[:n_kf]) @ kf_R[:n_kf].transpose(0, 2, 1)
+    ang = np.arccos(np.clip((np.trace(dR, axis1=1, axis2=2) - 1) / 2,
+                            -1, 1))
+    dt = np.linalg.norm(np.asarray(m.kf_t[:n_kf]) - kf_t[:n_kf], axis=1)
+    return ang.max(), dt.max()
+
+
+class TestLocalBA:
+    def test_reduces_noise_to_ground_truth(self):
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem()
+        ang0, dt0 = pose_err(m, kf_R, kf_t, n_kf)
+        lm0 = np.linalg.norm(np.asarray(m.lm_pos[:n_lm]) - X_gt,
+                             axis=1).mean()
+        m2 = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=10))(m)
+        ang1, dt1 = pose_err(m2, kf_R, kf_t, n_kf)
+        lm1 = np.linalg.norm(np.asarray(m2.lm_pos[:n_lm]) - X_gt,
+                             axis=1).mean()
+        # Perfect observations + fixed true anchors: near-exact recovery.
+        assert dt1 < 0.02 * max(dt0, 1e-9) or dt1 < 1e-3, (dt0, dt1)
+        assert ang1 < 1e-3, (ang0, ang1)
+        assert lm1 < 0.05 * lm0, (lm0, lm1)
+
+    def test_anchors_stay_fixed(self):
+        m, cfg, X_gt, kf_R, kf_t, n_kf = make_problem()[:6]
+        m2 = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=5))(m)
+        assert np.allclose(np.asarray(m2.kf_R[:2]), np.asarray(m.kf_R[:2]))
+        assert np.allclose(np.asarray(m2.kf_t[:2]), np.asarray(m.kf_t[:2]))
+
+    def test_invalid_rows_untouched(self):
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem()
+        m2 = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=5))(m)
+        # Landmarks beyond n_lm are invalid: positions must stay zero.
+        assert np.allclose(np.asarray(m2.lm_pos[n_lm:]), 0.0)
+        # Keyframe slots beyond n_kf untouched.
+        assert np.allclose(np.asarray(m2.kf_R[n_kf:]),
+                           np.asarray(m.kf_R[n_kf:]))
+
+    def test_outlier_observation_pruned(self):
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem(
+            pose_noise=0.0, lm_noise=0.0)
+        # Corrupt one observation of keyframe 3 by 80 px.
+        uv = np.array(m.kf_uv)
+        uv[3, 5] += np.array([80.0, -60.0], np.float32)
+        m = m._replace(kf_uv=jnp.asarray(uv))
+        m2 = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=5))(m)
+        obs = np.asarray(m2.kf_obs_lm)
+        assert obs[3, 5] == -1                      # pruned
+        assert (obs[3, :n_lm] >= 0).sum() == n_lm - 1
+
+    def test_window_subset_only_moves_window(self):
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem()
+        import dataclasses
+        cfg3 = dataclasses.replace(cfg, ba_window=3)
+        m2 = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg3, iters=5))(m)
+        # Window = last 3 keyframes; keyframes 0..2 must not move.
+        assert np.allclose(np.asarray(m2.kf_R[:3]), np.asarray(m.kf_R[:3]))
+
+
+class TestGlobalBA:
+    def test_whole_map_convergence(self):
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem(
+            pose_noise=0.05, lm_noise=0.08)
+        m2 = jax.jit(lambda mm: global_bundle_adjustment(
+            mm, K, cfg, iters=12))(m)
+        ang1, dt1 = pose_err(m2, kf_R, kf_t, n_kf)
+        lm1 = np.linalg.norm(np.asarray(m2.lm_pos[:n_lm]) - X_gt,
+                             axis=1).mean()
+        assert dt1 < 2e-3, dt1
+        assert ang1 < 2e-3, ang1
+        assert lm1 < 5e-3, lm1
