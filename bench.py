@@ -57,11 +57,13 @@ def main() -> None:
     world = SyntheticWorld(n_points=900, width=640, height=480,
                            fx=520.0, fy=520.0)
     depth = int(os.environ.get("SLAM_BENCH_PIPELINE_DEPTH", "6"))
+    stretch = int(os.environ.get("SLAM_BENCH_PIPELINE_STRETCH", "2"))
     cfg = EngineConfig(
         camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
                             cx=320.0, cy=240.0),
         map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
-        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=depth),
+        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=depth,
+                                pipeline_stretch=stretch),
     )
     ts, Rs, tls = world.trajectory(n_frames=n_frames)
     # uint8 frames: what a real camera delivers, and 4x less
@@ -75,6 +77,7 @@ def main() -> None:
     t_compile = time.perf_counter() - t0_compile
     t_track = []
     est_ts, est_pos = [], []
+    states = []
     n_ok = 0
     t_first_ok = None
     t_seq0 = time.perf_counter()
@@ -82,6 +85,7 @@ def main() -> None:
         t0 = time.perf_counter()
         out = sys_.track_monocular(frames[k], float(ts[k]))
         dt = time.perf_counter() - t0
+        states.append(out.tracking_state)
         if k >= warmup:
             t_track.append(dt)
         if out.tracking_state == 2:
@@ -91,6 +95,8 @@ def main() -> None:
             est_ts.append(out.timestamp)
             est_pos.append(out.position)
 
+    print("# state timeline:       "
+          + "".join(str(s) for s in states), file=sys.stderr)
     med = float(np.median(t_track)) if t_track else float("inf")
     mean = float(np.mean(t_track)) if t_track else float("inf")
     fps = 1.0 / mean if mean > 0 else 0.0

@@ -135,11 +135,21 @@ class TrackingConfig:
     # Two-view initializer
     init_ransac_iters: int = 512
     init_min_matches: int = 60
+    # Also require n_good >= frac * (valid keypoints in the reference
+    # frame): the absolute bar alone under-demands at high feature
+    # counts (see initializer.py acceptance note).
+    init_min_good_frac: float = 0.08
     init_min_parallax_deg: float = 0.8
     # Loop closing
     loop_min_gap_kf: int = 20       # candidate must be this many KFs old
     loop_score_min: float = 0.35    # retrieval cosine threshold
     loop_min_matches: int = 12      # verified 3D-3D matches required
+    # Temporal consistency: the retrieval hit must land in the same map
+    # region (+- radius slots) on this many consecutive keyframe probes
+    # before Sim3 verification runs (KeyFrameDatabase consistency
+    # groups; 1 disables).
+    loop_consistency_kf: int = 2
+    loop_consistency_radius: int = 3
     # Atlas multi-map (ORB-SLAM3: new map on prolonged tracking loss,
     # weld on place-recognition overlap).
     atlas_reloc_patience: int = 15  # failed reloc frames before freezing

@@ -222,7 +222,16 @@ def two_view_init(
     # Acceptance (TwoViewReconstruction-style): enough points, winner
     # clearly unique, minimum match count, adequate parallax.
     n_matches = jnp.sum(mvalid)
+    # Capacity-relative support: a 50-point init is adequate at 512
+    # features but WEAK at 1250 — the round-2 TPU/CPU ATE-parity audit
+    # traced a 19x e2e ATE gap to one backend accepting a 54-good init
+    # (t-dir error 5.5 deg) that the other rejected and retried. The
+    # fraction gate scales the bar with the frame's actual feature
+    # count so flagship configs demand flagship support.
+    n_kp_a = jnp.sum(valid_a.astype(jnp.int32))
+    min_good_rel = cfg.init_min_good_frac * n_kp_a.astype(jnp.float32)
     ok = ((n_good >= cfg.init_min_matches)
+          & (n_good.astype(jnp.float32) >= min_good_rel)
           & (n_good > 0.75 * jnp.sum(f_inl))
           & (second < 0.7 * n_good)
           & (n_matches >= cfg.init_min_matches)

@@ -135,51 +135,71 @@ def local_bundle_adjustment(
         # at 1e-3 vs exact recovery at 1e-5).
         lam_it = jnp.maximum(damping * (0.5 ** it.astype(jnp.float32)),
                              damping * 1e-2)
-        kf_R, kf_t, lm_pos, X_obs = carry
-        X = X_obs.reshape(W, N, 3)
-        p = jnp.einsum('wij,wnj->wni', kf_R, X) + kf_t[:, None, :]
-        z = jnp.maximum(p[..., 2], 1e-6)
-        inv_z = 1.0 / z
-        u = fx * p[..., 0] * inv_z + cx
-        v = fy * p[..., 1] * inv_z + cy
-        r = jnp.stack([u, v], -1) - kf_uv                   # (W,N,2)
+        kf_R, kf_t, lm_pos, X_t = carry
+        # All per-observation tensors below are COMPONENT-WISE (W, N)
+        # planes — keeping N (then ML) on the lane axis; the stacked
+        # (W, N, 2, 6) Jacobian form pads its trailing dims ~20x and
+        # dominated the BA iteration cost on TPU.
+        x = X_t[0].reshape(W, N)
+        y = X_t[1].reshape(W, N)
+        zw = X_t[2].reshape(W, N)
 
-        chi2 = jnp.sum(r * r, -1) * inv_sigma2
+        def Rc(i, j):
+            return kf_R[:, i, j][:, None]                   # (W,1)
+
+        px = Rc(0, 0) * x + Rc(0, 1) * y + Rc(0, 2) * zw + kf_t[:, 0:1]
+        py = Rc(1, 0) * x + Rc(1, 1) * y + Rc(1, 2) * zw + kf_t[:, 1:2]
+        pz = Rc(2, 0) * x + Rc(2, 1) * y + Rc(2, 2) * zw + kf_t[:, 2:3]
+        z = jnp.maximum(pz, 1e-6)
+        inv_z = 1.0 / z
+        ru = fx * px * inv_z + cx - kf_uv[..., 0]           # (W,N)
+        rv = fy * py * inv_z + cy - kf_uv[..., 1]
+
+        chi2 = (ru * ru + rv * rv) * inv_sigma2
         nrm = jnp.sqrt(jnp.maximum(chi2, 1e-12))
         w_huber = jnp.minimum(1.0, huber_delta / nrm)
-        wgt = (obs_valid & (p[..., 2] > 1e-3)).astype(jnp.float32) \
+        wgt = (obs_valid & (pz > 1e-3)).astype(jnp.float32) \
             * w_huber * inv_sigma2                          # (W,N)
 
-        # Jacobians.
-        zeros = jnp.zeros_like(z)
-        J_proj = jnp.stack([
-            jnp.stack([fx * inv_z, zeros, -fx * p[..., 0] * inv_z * inv_z], -1),
-            jnp.stack([zeros, fy * inv_z, -fy * p[..., 1] * inv_z * inv_z], -1),
-        ], -2)                                              # (W,N,2,3)
-        px, py, pz = p[..., 0], p[..., 1], p[..., 2]
-        zero = jnp.zeros_like(px)
-        neg_hat = jnp.stack([
-            jnp.stack([zero, pz, -py], -1),
-            jnp.stack([-pz, zero, px], -1),
-            jnp.stack([py, -px, zero], -1),
-        ], -2)                                              # (W,N,3,3)
-        eye3 = jnp.broadcast_to(jnp.eye(3, dtype=p.dtype), neg_hat.shape)
-        J_pose = J_proj @ jnp.concatenate([eye3, neg_hat], -1)  # (W,N,2,6)
-        J_pt = J_proj @ kf_R[:, None]                        # (W,N,2,3)
+        # Pose Jacobian rows (left-increment SE3 convention, same math
+        # as the stacked J_proj @ [I | -hat(p)] form):
+        xz = px * inv_z
+        yz = py * inv_z
+        Jp_u = jnp.stack([
+            fx * inv_z, jnp.zeros_like(z), -fx * xz * inv_z,
+            -fx * xz * yz, fx * (1.0 + xz * xz), -fx * yz,
+        ], axis=1)                                          # (W,6,N)
+        Jp_v = jnp.stack([
+            jnp.zeros_like(z), fy * inv_z, -fy * yz * inv_z,
+            -fy * (1.0 + yz * yz), fy * xz * yz, fy * xz,
+        ], axis=1)                                          # (W,6,N)
 
-        # Blocks.
-        H_pp = jnp.einsum('wnia,wn,wnib->wab', J_pose, wgt, J_pose)
-        b_p = jnp.einsum('wnia,wn,wni->wa', J_pose, wgt, r)  # (W,6)
-        Hpl_obs = jnp.einsum('wnia,wn,wnib->wnab', J_pose, wgt, J_pt)
-        Hll_obs = jnp.einsum('wnia,wn,wnib->wnab', J_pt, wgt, J_pt)
-        bl_obs = jnp.einsum('wnia,wn,wni->wna', J_pt, wgt, r)
+        # Point Jacobian rows: J_pt = J_proj @ R.
+        Jt_u = jnp.stack([
+            fx * inv_z * Rc(0, b) - fx * xz * inv_z * Rc(2, b)
+            for b in range(3)], axis=1)                     # (W,3,N)
+        Jt_v = jnp.stack([
+            fy * inv_z * Rc(1, b) - fy * yz * inv_z * Rc(2, b)
+            for b in range(3)], axis=1)                     # (W,3,N)
 
-        # Landmark-side assembly: one fused (W*N, 12) segment sum,
-        # then flipped to L-minor layout — every elementwise op below
-        # runs over (..., ML) lanes instead of padded (..., 3) tails.
-        lm_acc = om.seg_sum(jnp.concatenate([
-            Hll_obs.reshape(W * N, 9), bl_obs.reshape(W * N, 3)], -1))
-        acc_t = lm_acc.T                                     # (12, ML)
+        # Blocks (contractions over minor N).
+        H_pp = jnp.einsum('wan,wn,wbn->wab', Jp_u, wgt, Jp_u) \
+            + jnp.einsum('wan,wn,wbn->wab', Jp_v, wgt, Jp_v)
+        b_p = jnp.einsum('wan,wn->wa', Jp_u, wgt * ru) \
+            + jnp.einsum('wan,wn->wa', Jp_v, wgt * rv)      # (W,6)
+        Hpl_obs = jnp.einsum('wan,wn,wcn->wacn', Jp_u, wgt, Jt_u) \
+            + jnp.einsum('wan,wn,wcn->wacn', Jp_v, wgt, Jt_v)  # (W,6,3,N)
+        Hll_obs = jnp.einsum('wbn,wn,wcn->wbcn', Jt_u, wgt, Jt_u) \
+            + jnp.einsum('wbn,wn,wcn->wbcn', Jt_v, wgt, Jt_v)  # (W,3,3,N)
+        bl_obs = Jt_u * (wgt * ru)[:, None, :] \
+            + Jt_v * (wgt * rv)[:, None, :]                 # (W,3,N)
+
+        # Landmark-side assembly: one fused (12, W*N) segment sum
+        # straight into L-minor layout.
+        vals_t = jnp.concatenate([
+            Hll_obs.reshape(W, 9, N), bl_obs], axis=1)      # (W,12,N)
+        acc_t = om.seg_sum_t(
+            vals_t.transpose(1, 0, 2).reshape(12, W * N))   # (12, ML)
         Hl = acc_t[:9].reshape(3, 3, ML)
         b_l = acc_t[9:]                                      # (3, ML)
 
@@ -216,8 +236,8 @@ def local_bundle_adjustment(
         ]) * inv_det                                          # (3,3,ML)
 
         # Pose-landmark cross blocks, L-minor: (W, 18, ML).
-        H_pl = om.seg_sum_batched(
-            Hpl_obs.reshape(W, N, 18), minor_l=True).reshape(W, 6, 3, ML)
+        H_pl = om.seg_sum_batched_t(
+            Hpl_obs.reshape(W, 18, N)).reshape(W, 6, 3, ML)
 
         T = jnp.einsum('wabl,bcl->wacl', H_pl, H_ll_inv)      # (W,6,3,ML)
         A2 = T.reshape(W * 6, 3 * ML)
@@ -256,24 +276,34 @@ def local_bundle_adjustment(
         # bf16) gather of the delta — rounding is relative to the step,
         # not the state, and it halves the per-iteration one-hot
         # traffic vs re-gathering lm_pos exactly.
-        X_obs_new = X_obs + om.gather(delta_l, exact=False)
-        return (kf_R_new, kf_t_new, lm_pos + delta_l, X_obs_new), None
+        X_t_new = X_t + om.gather_t(delta_lt * lm_free[None, :],
+                                    exact=False)
+        return (kf_R_new, kf_t_new, lm_pos + delta_l, X_t_new), None
 
-    X_obs0 = om.gather(m.lm_pos)                 # exact, once
-    (kf_R, kf_t, lm_pos, _), _ = jax.lax.scan(
-        ba_iter, (kf_R, kf_t, m.lm_pos, X_obs0), jnp.arange(iters))
+    X_t0 = om.gather_t(m.lm_pos.T)               # exact, once; (3, R)
+    (kf_R, kf_t, lm_pos, X_t), _ = jax.lax.scan(
+        ba_iter, (kf_R, kf_t, m.lm_pos, X_t0), jnp.arange(iters))
 
     # Observation pruning (the post-BA outlier erase of ORB-SLAM's
     # LocalBundleAdjustment): drop in-window observations whose final
-    # chi2 exceeds the threshold.
-    X = om.gather(lm_pos).reshape(W, N, 3)
-    p = jnp.einsum('wij,wnj->wni', kf_R, X) + kf_t[:, None, :]
-    z = jnp.maximum(p[..., 2], 1e-6)
-    u = fx * p[..., 0] / z + cx
-    v = fy * p[..., 1] / z + cy
-    r = jnp.stack([u, v], -1) - kf_uv
-    chi2 = jnp.sum(r * r, -1) * inv_sigma2
-    bad_obs = obs_valid & ((chi2 > 4.0 * CHI2_2DOF) | (p[..., 2] <= 1e-3))
+    # chi2 exceeds the threshold. The carried X_t is within one cheap
+    # delta-gather rounding (~0.4% of the LAST step) of exact — far
+    # inside the 4x-chi2 prune margin.
+    x = X_t[0].reshape(W, N)
+    y = X_t[1].reshape(W, N)
+    zw = X_t[2].reshape(W, N)
+
+    def RcF(i, j):
+        return kf_R[:, i, j][:, None]
+
+    px = RcF(0, 0) * x + RcF(0, 1) * y + RcF(0, 2) * zw + kf_t[:, 0:1]
+    py = RcF(1, 0) * x + RcF(1, 1) * y + RcF(1, 2) * zw + kf_t[:, 1:2]
+    pz = RcF(2, 0) * x + RcF(2, 1) * y + RcF(2, 2) * zw + kf_t[:, 2:3]
+    z = jnp.maximum(pz, 1e-6)
+    ru = fx * px / z + cx - kf_uv[..., 0]
+    rv = fy * py / z + cy - kf_uv[..., 1]
+    chi2 = (ru * ru + rv * rv) * inv_sigma2
+    bad_obs = obs_valid & ((chi2 > 4.0 * CHI2_2DOF) | (pz <= 1e-3))
     kf_obs_pruned = jnp.where(bad_obs, -1, kf_obs)
 
     # Write the window back (scatter by window id; padded slots drop).

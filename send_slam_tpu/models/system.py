@@ -354,6 +354,7 @@ class System:
         self._n_kf_host = 0        # keyframes ever inserted (monotonic)
         self._slots_used = 0       # host mirror of device n_kf (append slot)
         self._pending_loop = None
+        self._loop_consistency = None   # last probe's candidate slot
         self.loop_attempts: List[tuple] = []
         # Next keyframe's incoming chain edge crosses a relocalization
         # (the relative pose there is a jump, not motion) — recorded on
@@ -606,13 +607,30 @@ class System:
 
         if len(self._pending_loop) == 4:       # phase 1: score
             kf_slot, cand_prev, score_fut, cand_fut = self._pending_loop
-            if not (sync or score_fut.done()):
+            if not (sync or (score_fut.done() and cand_fut.done())):
                 return      # fetch still in flight; re-check next frame
             score = float(score_fut.result())
+            cand_val = int(cand_fut.result())
             if score <= tr.loop_score_min:
                 self._pending_loop = None
+                self._loop_consistency = None
                 self.loop_attempts.append(
-                    (int(kf_slot), int(cand_fut.result()), score, None))
+                    (int(kf_slot), cand_val, score, None))
+                return
+            # Temporal consistency (KeyFrameDatabase's consistency
+            # groups): the retrieval hit must point at the same map
+            # REGION (within loop_consistency_radius slots) on
+            # consecutive keyframe probes before a Sim3 verification is
+            # spent — one aliased-texture hit cannot trigger a loop.
+            prev = self._loop_consistency
+            self._loop_consistency = cand_val
+            if (tr.loop_consistency_kf > 1
+                    and (prev is None
+                         or abs(cand_val - prev)
+                         > tr.loop_consistency_radius)):
+                self._pending_loop = None
+                self.loop_attempts.append(
+                    (int(kf_slot), cand_val, score, None))
                 return
             kf_prev = jnp.asarray(kf_slot, jnp.int32)
             self._key, sub = jax.random.split(self._key)
@@ -696,6 +714,7 @@ class System:
             # Slot ids shifted: pending slot-addressed probes are stale.
             self._pending_loop = None
             self._pending_weld = None
+            self._loop_consistency = None
             if self._slots_used >= cfg.map.max_keyframes - 1:
                 # Organic 90%-redundancy culling freed nothing: evict
                 # the most redundant unprotected keyframe instead.

@@ -129,6 +129,51 @@ class ObsMap:
         hi, lo = _split_hi_lo(values)
         return ein(hi) + ein(lo)
 
+    def seg_sum_t(self, values_t: jnp.ndarray,
+                  exact: bool = False) -> jnp.ndarray:
+        """(D, R) -> (D, L): like seg_sum but with R-minor values and
+        L-minor output — the contraction hits the minor axis of both
+        operands and the result needs no relayout either."""
+        if self.oh_t is None:
+            return jnp.zeros((self.L, values_t.shape[0]), values_t.dtype) \
+                .at[self.ids].add(values_t.T, mode="drop").T
+
+        def mm(v16):
+            return jax.lax.dot_general(
+                v16, self.oh_t,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if not exact:
+            return mm(values_t.astype(jnp.bfloat16))
+        hi, lo = _split_hi_lo(values_t)
+        return mm(hi) + mm(lo)
+
+    def seg_sum_batched_t(self, values: jnp.ndarray,
+                          exact: bool = False) -> jnp.ndarray:
+        """(B, D, Rb) -> (B, D, L) with ids viewed as (B, Rb): the
+        all-minor-contraction form of seg_sum_batched (values carry Rb
+        on lanes, output carries L on lanes)."""
+        B, D, Rb = values.shape
+        if self.oh_t is None:
+            ids_b = self.ids.reshape(B, Rb)
+            out = jnp.zeros((B, self.L, D), values.dtype)
+            rows = jnp.broadcast_to(
+                jnp.arange(B)[:, None], (B, Rb)).reshape(-1)
+            out = out.at[rows, ids_b.reshape(-1)].add(
+                values.transpose(0, 2, 1).reshape(-1, D), mode="drop")
+            return out.transpose(0, 2, 1)
+        oh_b = self.oh_t.reshape(self.L, B, Rb)
+
+        def ein(v16):
+            return jnp.einsum('lbr,bdr->bdl', oh_b, v16,
+                              preferred_element_type=jnp.float32)
+
+        if not exact:
+            return ein(values.astype(jnp.bfloat16))
+        hi, lo = _split_hi_lo(values)
+        return ein(hi) + ein(lo)
+
     # -- gathers -------------------------------------------------------
 
     def gather(self, table: jnp.ndarray, exact: bool = True) -> jnp.ndarray:
@@ -148,3 +193,15 @@ class ObsMap:
         hi, lo = _split_hi_lo(table.T)                  # (D, L), small
         out_t = _mm(hi, self.oh_t) + _mm(lo, self.oh_t)  # (D, R)
         return out_t.T                                   # (R, D) small-minor
+
+    def gather_t(self, table_t: jnp.ndarray,
+                 exact: bool = True) -> jnp.ndarray:
+        """(D, L) -> (D, R): gather with L-minor table and R-minor
+        output — the fully relayout-free direction."""
+        if self.oh_t is None:
+            out = table_t[:, jnp.clip(self.ids, 0, self.L - 1)]
+            return jnp.where(self._ok[None, :], out, 0.0)
+        if not exact:
+            return _mm(table_t.astype(jnp.bfloat16), self.oh_t)
+        hi, lo = _split_hi_lo(table_t)
+        return _mm(hi, self.oh_t) + _mm(lo, self.oh_t)
