@@ -35,10 +35,27 @@ def _normalize_points(x, w=None):
 
 def _smallest_singular_vector(A):
     """Right-singular vector of A for its smallest singular value via
-    eigh of A^T A (faster + more TPU-friendly than full SVD)."""
+    eigh of A^T A (faster + more TPU-friendly than full SVD).
+
+    Forming A^T A squares the condition number, and the TPU's f32
+    eigh leaves noticeable noise in the smallest eigenvector on
+    quasi-degenerate minimal samples — the round-2 parity audit traced
+    backend-dependent RANSAC hypothesis quality to exactly this. Two
+    shifted inverse-iteration steps (9x9 solves, vmap-cheap) polish the
+    eigenvector to solver precision on every backend."""
     AtA = A.T @ A
     w, v = jnp.linalg.eigh(AtA)
-    return v[:, 0]
+    x = v[:, 0]
+    n = AtA.shape[0]
+    # Shift slightly BELOW the smallest eigenvalue so M = AtA - s*I is
+    # near-singular exactly along the target direction; the solve then
+    # amplifies that direction (classic inverse iteration).
+    s = w[0] - 1e-6 * jnp.maximum(w[-1], 1e-12)
+    M = AtA - s * jnp.eye(n, dtype=AtA.dtype)
+    for _ in range(2):
+        x = jnp.linalg.solve(M, x[:, None])[:, 0]
+        x = x / jnp.maximum(jnp.linalg.norm(x), 1e-20)
+    return x
 
 
 def eight_point_fundamental(x1, x2, weights=None):

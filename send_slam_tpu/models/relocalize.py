@@ -38,9 +38,10 @@ def _pnp_dlt(X, xn):
     r1 = jnp.concatenate([Xh, zeros, -xn[:, 0:1] * Xh], 1)     # (K,12)
     r2 = jnp.concatenate([zeros, Xh, -xn[:, 1:2] * Xh], 1)
     A = jnp.concatenate([r1, r2], 0)                           # (2K,12)
-    AtA = A.T @ A
-    w, v = jnp.linalg.eigh(AtA)
-    p = v[:, 0].reshape(3, 4)
+    # Inverse-iteration-polished smallest singular vector: TPU f32 eigh
+    # noise on A^T A was a round-2 parity finding (geometry/epipolar).
+    from send_slam_tpu.geometry.epipolar import _smallest_singular_vector
+    p = _smallest_singular_vector(A).reshape(3, 4)
     Rraw = p[:, :3]
     # Scale: rotation rows must be unit norm; sign: points in front.
     scale = jnp.cbrt(jnp.abs(jnp.linalg.det(Rraw)))
