@@ -143,26 +143,27 @@ def main():
           f"ms/call   (n=16, dispatch {t_disp/16*1e3:.1f} ms/call)",
           flush=True)
 
-    # Per-frame hot path (chained on map output, varying image).
+    # Per-frame hot path (chained on map output, varying image). The
+    # round-3 frame_step carries a LoopState and makes the keyframe/
+    # BA-slice decisions in-graph; a mid-sequence state exercises the
+    # no-insert + slice path (the common case).
+    st0 = sys_._st
     k_img = [0]
     def fstep(mm):
         k_img[0] += 1
-        m2, fr, res, s = sys_._frame_step(
-            mm, eye, zero, eye, zero, jnp.asarray(True),
-            imgs_dev[k_img[0] % len(imgs_dev)], 1.0)
-        return m2, fr, res, s
-    out = time_chained("frame_step(full)", fstep, m, n=16)
-    m2, fr, res, _s = out
+        m2, st2, s = sys_._frame_step(
+            mm, st0, imgs_dev[k_img[0] % len(imgs_dev)], 1.0,
+            jnp.asarray(False))
+        return m2, st2, s
+    m3 = time_chained("frame_step(track+slice)", fstep, m, n=16)[0]
 
-    def ins(mm):
-        mo, kf_id, nn = sys_._insert_kf_step(
-            mm, res.R, res.t, fr, res.matches.idx,
-            res.matches.valid & res.inlier, jnp.asarray(False))
-        return mo
-    m3 = time_chained("insert_kf+triangulate", ins, m, n=4)
-    time_chained("local_ba(covis W=8)", sys_._local_ba_step, m3, n=4)
-    time_chained("wide_ba(W<=64)", sys_._wide_ba_step, m3, n=3)
-    time_chained("global_ba(MK=64)", sys_._global_ba_step, m3, n=3)
+    lam = jnp.asarray(1e-3, jnp.float32)
+    pr = jnp.asarray(False)
+    time_chained("maintain(prune+cull)", sys_._maintain_step, m3, n=4)
+    time_chained("wide_slice(W<=64)",
+                 lambda mm: sys_._wide_slice(mm, lam, pr)[0], m3, n=4)
+    time_chained("global_slice(W=MK)",
+                 lambda mm: sys_._global_slice(mm, lam, pr)[0], m3, n=4)
     time_chained("compact", lambda mm: sys_._compact_step(mm)[0], m3, n=4)
     time_chained("forced_cull", lambda mm: sys_._forced_cull_step(mm)[0],
                  m3, n=4)

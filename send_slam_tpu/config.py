@@ -132,9 +132,41 @@ class TrackingConfig:
     kf_min_interval: int = 3        # frames
     kf_tracked_ratio: float = 0.9   # new KF if tracked < ratio * ref
     kf_max_interval: int = 10       # force a KF after this many frames
+    # Amortized bundle adjustment (the TPU-native analog of the
+    # LocalMapping thread overlapping Tracking): instead of a
+    # multi-iteration local-BA burst at keyframe rate stalling the
+    # frame chain, ONE Gauss-Newton slice runs in-graph per frame over
+    # the newest keyframe's covisibility window, with the Levenberg
+    # damping decayed across slices (constant damping under-converges
+    # — see local_ba.py). Slices stop after ba_slice_max per keyframe;
+    # observation pruning arms once the window has had ba_prune_after
+    # slices (pruning an under-converged window eats true matches).
+    ba_slice_max: int = 6
+    ba_slice_damping: float = 1e-3
+    ba_prune_after: int = 3
+    # GN iterations run INSIDE the insert branch before the next frame
+    # can track: freshly triangulated landmarks must never be exposed
+    # raw (forward-marching scenes triangulate at low parallax; one
+    # frame tracked against unrefined structure diverges the chain).
+    kf_insert_ba_iters: int = 4
+    # Wide/global polish runs as a queue of single-iteration slices
+    # (one dispatched per frame) instead of one >100 ms dispatch.
+    wide_ba_every_kf: int = 8       # enqueue wide slices every Nth KF
+    wide_ba_slices: int = 5
+    global_ba_slices: int = 8       # after a loop closure / map weld
     # Two-view initializer
     init_ransac_iters: int = 512
     init_min_matches: int = 60
+    # Scored multi-pair initialization: the first ACCEPTABLE pair is a
+    # lottery (low-parallax/low-support inits bake in bad geometry and
+    # dominated round-2's run-to-run ATE variance). An acceptable init
+    # commits immediately if its score (n_good, discounted toward zero
+    # as median parallax approaches the acceptance minimum —
+    # InitResult.score) clears init_strong_frac * init_min_matches;
+    # otherwise up to init_probation_frames more candidate pairs are
+    # evaluated and the BEST acceptable one wins.
+    init_probation_frames: int = 4
+    init_strong_frac: float = 1.8
     # Also require n_good >= frac * (valid keypoints in the reference
     # frame): the absolute bar alone under-demands at high feature
     # counts (see initializer.py acceptance note).
@@ -150,6 +182,11 @@ class TrackingConfig:
     # groups; 1 disables).
     loop_consistency_kf: int = 2
     loop_consistency_radius: int = 3
+    # Relocalization acceptance: stricter than min_track_matches —
+    # a marginal wide-window "success" from unmapped territory resets
+    # the atlas patience counter forever and blocks the map freeze
+    # (ORB-SLAM3's Relocalization demands >= 50 PnP inliers).
+    reloc_min_matches: int = 40
     # Atlas multi-map (ORB-SLAM3: new map on prolonged tracking loss,
     # weld on place-recognition overlap).
     atlas_reloc_patience: int = 15  # failed reloc frames before freezing

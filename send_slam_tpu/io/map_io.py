@@ -48,18 +48,28 @@ def save_map(m: MapState, path: Optional[str] = None) -> str:
 
 
 def load_map(path: Optional[str] = None) -> MapState:
+    import dataclasses
+
     import jax.numpy as jnp
+
+    from send_slam_tpu.config import MapConfig
+    from send_slam_tpu.models.map_state import empty_map
+
     path = path or default_map_path()
     with np.load(path) as data:
         header = json.loads(bytes(data["__header__"]).decode())
         if header["version"] > FORMAT_VERSION:
             raise ValueError(f"unsupported map version {header['version']}")
-        fields = {}
-        for f in MapState._fields:
-            if f in data.files:
-                fields[f] = jnp.asarray(data[f])
-        # Fields added after v1 get their empty-map defaults.
-        if "kf_chain_break" not in fields:
-            mk = int(header["max_keyframes"])
-            fields["kf_chain_break"] = jnp.zeros((mk,), bool)
-        return MapState(**fields)
+        # Fields added after the file's version get their empty-map
+        # defaults at the HEADER capacities — any older checkpoint loads
+        # into the current MapState schema without per-field special
+        # cases.
+        cfg = dataclasses.replace(
+            MapConfig(),
+            max_keyframes=int(header["max_keyframes"]),
+            max_landmarks=int(header["max_landmarks"]),
+        )
+        base = empty_map(cfg, int(header["n_keypoints"]))
+        fields = {f: jnp.asarray(data[f])
+                  for f in MapState._fields if f in data.files}
+        return base._replace(**fields)

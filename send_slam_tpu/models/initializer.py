@@ -38,6 +38,15 @@ class InitResult(NamedTuple):
     point_ok: jnp.ndarray      # (N,) bool — survived cheirality/reproj
     matches: Matches           # A->B descriptor matches used
     n_good: jnp.ndarray        # () int32
+    # Quality score for multi-pair selection (System._try_initialize):
+    # support, discounted only when the median parallax sits right at
+    # the acceptance minimum (saturates at 1.25x). Support is the
+    # dominant downstream-quality signal — the E-matrix accuracy that
+    # epipolar-gated triangulation depends on tracks n_good, and a
+    # measured 94-point pair beat a 72-point wider-baseline pair by 6x
+    # e2e ATE. Rewarding excess baseline picks pairs whose matching
+    # already degraded.
+    score: jnp.ndarray         # () f32 = n_good * min(par/1.25*par_min, 1)
 
 
 def _sample_minimal_sets(key, valid, n_hyp: int, k: int):
@@ -245,5 +254,9 @@ def two_view_init(
     X = X * scale
     t = t * scale
 
+    par_factor = jnp.clip(
+        jnp.nan_to_num(med_parallax) / jnp.maximum(1.25 * min_par, 1e-6),
+        0.0, 1.0)
+    score = n_good.astype(jnp.float32) * par_factor
     return InitResult(ok=ok, R=R, t=t, points=X, point_ok=point_ok,
-                      matches=m, n_good=n_good)
+                      matches=m, n_good=n_good, score=score)

@@ -6,11 +6,25 @@ reference adapter at orbslam3_mono_networked.cc:511 and driven via
 TrackMonocular at …cc:594). Key architectural departures:
 
 - No threads for tracking/mapping: the per-frame hot path is ONE fused
-  jitted dispatch (extract -> match -> pose GN); keyframe insertion +
-  triangulation + local BA are separate jitted steps invoked at the
-  keyframe rate. Data-dependent *decisions* (initialized? lost? new
-  keyframe?) happen here on the host between dispatches on a handful
-  of scalars; all *math* stays on device with static shapes.
+  jitted dispatch that tracks the frame, DECIDES device-side whether it
+  becomes a keyframe (lax.cond — the reference's frame-synchronous
+  NeedNewKeyFrame, …cc:594-599; round 2 made this decision on the host
+  from a lagged summary fetch, and the fetch-RTT-dependent decision lag
+  was a dominant source of run-to-run outcome variance), inserts +
+  triangulates it in-graph when it does, and runs ONE amortized
+  bundle-adjustment slice over the covisibility window. The BA slices
+  are the TPU-native analog of ORB-SLAM3's LocalMapping thread
+  overlapping Tracking: a single device cannot run two programs at
+  once, so mapping work is time-sliced into the frame step instead of
+  bursting 26-150 ms dispatches onto the frame dependency chain.
+- Wide/global BA polish runs as a queue of single-iteration slices,
+  one dispatched per frame — same total device work, no single-frame
+  stall (the round-2 median-vs-mean gap of 16x was exactly these
+  bursts).
+- Data-dependent HOST decisions that remain (initialized? lost?
+  loop verified? compaction?) happen at frame/keyframe rate from a
+  12-float summary fetched one frame late; all math stays on device
+  with static shapes.
 - The map is a fixed-capacity pytree (models/map_state.py) living on
   device; the host never materializes it.
 
@@ -23,8 +37,7 @@ tracking_state, the contents of the pose packet …cc:225-282),
 
 from __future__ import annotations
 
-import functools
-import time
+import dataclasses
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, NamedTuple, Optional, Tuple
 
@@ -52,6 +65,29 @@ from send_slam_tpu.models.map_state import (
 )
 from send_slam_tpu.models.tracking import track_frame
 
+# Summary vector layout (the ONLY per-frame device->host traffic, read
+# one frame late): [n_inliers, twc(3), quat(4), kf_inserted, n_kf,
+# kf_slot, n_landmarks].
+S_INLIERS, S_POS, S_QUAT, S_KF, S_NKF, S_SLOT, S_NLM = 0, 1, 4, 8, 9, 10, 11
+SUMMARY_LEN = 12
+
+
+class LoopState(NamedTuple):
+    """Device-side per-frame tracking state, carried between frame
+    dispatches (the host holds the pytree but never reads it): the
+    speculative pose chain, the motion-model flag, and the keyframe /
+    BA-slice counters that used to be host mirrors."""
+
+    R: jnp.ndarray              # (3,3) current Tcw
+    t: jnp.ndarray              # (3,)
+    R2: jnp.ndarray             # one-older pose (motion model)
+    t2: jnp.ndarray
+    has_vel: jnp.ndarray        # () bool
+    frames_since_kf: jnp.ndarray  # () int32
+    inliers_at_kf: jnp.ndarray    # () int32
+    ba_it: jnp.ndarray            # () int32 — BA slices since last KF
+    ba_window: jnp.ndarray        # (W,) int32 — covis window of newest KF
+
 
 class TrackOutput(NamedTuple):
     """Host-side result of one frame: everything the pose packet needs."""
@@ -75,6 +111,8 @@ class System:
 
         # --- jitted steps -------------------------------------------------
         orb, tr = config.orb, config.tracking
+        MK = config.map.max_keyframes
+        W = config.map.ba_window
 
         self._make_frame = jax.jit(
             lambda img, ts: make_frame(img, ts, orb, cam))
@@ -99,28 +137,30 @@ class System:
         self._track_step = jax.jit(_track_step, static_argnames=("radius",))
         self._update_stats = jax.jit(update_landmark_stats)
 
-        def _frame_step(m: MapState, R_prev, t_prev, R_prev2, t_prev2,
-                        has_vel, img, ts):
+        from send_slam_tpu.models.covisibility import (
+            compact_keyframes, covis_window_ids, cull_redundant_keyframes,
+        )
+
+        def _frame_step(m: MapState, st: LoopState, img, ts, chain_break):
             """The fused per-frame hot path, ONE dispatch with NO host
-            inputs derived from device reads: the constant-velocity
-            prediction is computed in-graph from the device-side pose
-            chain, so consecutive dispatches chain asynchronously and
-            the host never blocks inside the tracking loop (the remote-
-            device sync latency makes this matter more than FLOPs).
-            Returns (map', frame, res, summary) where summary is the
-            8-float vector [n_inliers, twc(3), quat(4)] — the only
-            thing the host ever fetches, one frame late."""
+            inputs derived from device reads. Track -> device-side
+            keyframe decision -> (cond) insert + triangulate -> (cond)
+            one amortized BA slice -> rebase the speculative pose
+            chain by the newest keyframe's BA delta. The host fetches
+            only the 12-float summary, one frame late — keyframe
+            placement and map refinement no longer depend on the
+            fetch schedule (round-2's variance source)."""
             img_f = img.astype(jnp.float32)
             # Damped velocity prediction: T_vel = exp(a·log(T_prev ∘
             # T_prev2^-1)) — see TrackingConfig.velocity_damping.
             from send_slam_tpu.geometry.se3 import se3_exp, se3_log
-            R2i, t2i = se3_inverse(R_prev2, t_prev2)
-            Rv, tv = se3_compose(R_prev, t_prev, R2i, t2i)
+            R2i, t2i = se3_inverse(st.R2, st.t2)
+            Rv, tv = se3_compose(st.R, st.t, R2i, t2i)
             xi = se3_log(Rv, tv) * tr.velocity_damping
             Rv, tv = se3_exp(xi)
-            Rp, tp = se3_compose(Rv, tv, R_prev, t_prev)
-            R_pred = jnp.where(has_vel, Rp, R_prev)
-            t_pred = jnp.where(has_vel, tp, t_prev)
+            Rp, tp = se3_compose(Rv, tv, st.R, st.t)
+            R_pred = jnp.where(st.has_vel, Rp, st.R)
+            t_pred = jnp.where(st.has_vel, tp, st.t)
 
             frame = make_frame(img_f, ts, orb, cam)
             res = track_frame(
@@ -131,16 +171,102 @@ class System:
                 cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
                 tr, scale_factor=orb.scale_factor,
                 search_radius=tr.search_radius_px,
-                R_rescue=R_prev, t_rescue=t_prev,
+                R_rescue=st.R, t_rescue=st.t,
                 lm_normal=m.lm_normal, lm_dist_min=m.lm_dist_min,
                 lm_dist_max=m.lm_dist_max, n_levels=orb.n_levels)
             m = update_landmark_stats(m, res.in_view, res.inlier)
 
-            Rwc, twc = se3_inverse(res.R, res.t)
+            # --- keyframe decision, in-graph (NeedNewKeyFrame) -----------
+            fs = st.frames_since_kf + 1
+            ok = res.n_inliers >= tr.min_track_matches
+            weak = res.n_inliers < jnp.asarray(
+                tr.kf_tracked_ratio, jnp.float32) \
+                * jnp.maximum(st.inliers_at_kf, 1).astype(jnp.float32)
+            stale = fs >= tr.kf_max_interval
+            capacity = m.n_kf < MK - 1
+            need_kf = ok & capacity & (fs >= tr.kf_min_interval) \
+                & (weak | stale)
+            kf_slot = jnp.where(need_kf, m.n_kf, -1)
+
+            def do_insert(m):
+                m2, kf_id, _n_new = insert_keyframe_with_triangulation(
+                    m, res.R, res.t, frame, res.matches.idx,
+                    res.matches.valid & res.inlier, self._K, tr,
+                    chain_break=chain_break,
+                    scale_factor=orb.scale_factor, n_levels=orb.n_levels)
+                ids, _ = covis_window_ids(m2, W)
+                return m2, ids
+
+            def no_insert(m):
+                return m, st.ba_window
+
+            m, win = jax.lax.cond(need_kf, do_insert, no_insert, m)
+
+            # --- amortized BA (LocalMapping time-slice) ------------------
+            # The INSERT frame runs the first kf_insert_ba_iters GN
+            # iterations immediately: freshly triangulated landmarks
+            # must never be exposed to the next frame's tracking raw
+            # (forward-marching scenes triangulate new points at low
+            # parallax; one frame tracked against unrefined structure
+            # measurably diverges the pose chain). Subsequent frames
+            # each run ONE slice with the damping decayed from where
+            # the insert burst left off.
+            K_INS = tr.kf_insert_ba_iters
+            ba_it = jnp.where(need_kf, K_INS, st.ba_it)
+            run_ba = (~need_kf) & (m.n_kf >= 3) & (ba_it < tr.ba_slice_max)
+            lam = jnp.maximum(
+                tr.ba_slice_damping * (0.5 ** ba_it.astype(jnp.float32)),
+                tr.ba_slice_damping * 1e-2)
+            do_prune = ba_it >= tr.ba_prune_after
+
+            def insert_burst(m):
+                return local_bundle_adjustment(
+                    m, self._K, config.map, iters=K_INS,
+                    damping=tr.ba_slice_damping, window_ids=win,
+                    prune=True)
+
+            def do_slice(m):
+                return jax.lax.cond(
+                    run_ba,
+                    lambda m: local_bundle_adjustment(
+                        m, self._K, config.map, iters=1, damping=lam,
+                        window_ids=win, prune=do_prune),
+                    lambda m: m, m)
+
+            m = jax.lax.cond(need_kf & (m.n_kf >= 3), insert_burst,
+                             do_slice, m)
+            ba_it = ba_it + run_ba.astype(jnp.int32)
+
+            # NO explicit chain rebase for local BA deltas: the next
+            # frame's pose GN re-anchors to the refined map within one
+            # frame (the corrections are sub-pixel at the matcher's
+            # window scale), whereas injecting the per-insert BA delta
+            # into the motion model measurably DESTABILIZES tracking
+            # (stall-and-jump chain dynamics -> biased triangulation
+            # baselines -> divergence on forward-marching scenes; the
+            # A/B is 136/140 frames tracked without vs 62/140 with).
+            # Only LARGE discrete corrections (loop closure) rebase the
+            # chain explicitly (_maybe_close_loop -> _rebase_st).
+            R_out = res.R
+            t_out = res.t
+            st_new = LoopState(
+                R=R_out, t=t_out,
+                R2=st.R, t2=st.t,
+                has_vel=jnp.asarray(True),
+                frames_since_kf=jnp.where(need_kf, 0, fs),
+                inliers_at_kf=jnp.where(need_kf, res.n_inliers,
+                                        st.inliers_at_kf),
+                ba_it=ba_it, ba_window=win)
+
+            Rwc, twc = se3_inverse(R_out, t_out)
             quat = quat_from_rotmat(Rwc)
             summary = jnp.concatenate([
-                res.n_inliers[None].astype(jnp.float32), twc, quat])
-            return m, frame, res, summary
+                res.n_inliers[None].astype(jnp.float32), twc, quat,
+                need_kf[None].astype(jnp.float32),
+                m.n_kf[None].astype(jnp.float32),
+                kf_slot[None].astype(jnp.float32),
+                m.n_landmarks()[None].astype(jnp.float32)])
+            return m, st_new, summary
         self._frame_step = jax.jit(_frame_step)
 
         def _bootstrap_map(m: MapState, fa: Frame, fb: Frame, init_res):
@@ -176,14 +302,6 @@ class System:
             return m
         self._bootstrap_map = jax.jit(_bootstrap_map)
 
-        def _insert_kf_step(m: MapState, R, t, frame: Frame,
-                            match_idx, match_inlier, chain_break):
-            return insert_keyframe_with_triangulation(
-                m, R, t, frame, match_idx, match_inlier, self._K, tr,
-                chain_break=chain_break,
-                scale_factor=orb.scale_factor, n_levels=orb.n_levels)
-        self._insert_kf_step = jax.jit(_insert_kf_step)
-
         def _reloc_step(m: MapState, frame: Frame, key):
             """Retrieval-guided relocalization (the candidate-keyframe
             structure of Tracking::Relocalization): the best keyframe by
@@ -205,24 +323,18 @@ class System:
             return res, scores[best]
         self._reloc_step = jax.jit(_reloc_step)
 
-        from send_slam_tpu.models.covisibility import (
-            compact_keyframes, covis_window_ids, cull_redundant_keyframes,
-        )
-
-        def _local_ba_step(m: MapState):
-            # ORB-SLAM's LocalMapping sequence at keyframe rate: local
-            # BA over the COVISIBILITY window of the new keyframe (not
-            # pure recency — corrections propagate through shared
-            # structure), outlier-obs pruning, then redundant-keyframe
-            # culling (CMakeLists.txt:50).
-            ids, _ok = covis_window_ids(m, config.map.ba_window)
-            m = local_bundle_adjustment(m, self._K, config.map,
-                                        window_ids=ids)
+        def _maintain_step(m: MapState):
+            # Keyframe-rate map maintenance (the tail of ORB-SLAM's
+            # LocalMapping loop): zero-obs landmark pruning + redundant
+            # keyframe culling. Dispatched by the host when the lagged
+            # summary reports an insert — pure device work, no sync.
             m = prune_zero_obs_landmarks(m)
             m, _ncull = cull_redundant_keyframes(m, max_cull=2)
             return m
-        self._local_ba_step = jax.jit(_local_ba_step)
+        self._maintain_step = jax.jit(_maintain_step)
         self._compact_step = jax.jit(compact_keyframes)
+        self._covis_window = jax.jit(
+            lambda m: covis_window_ids(m, W)[0])
         # Capacity-pressure cull: when the table fills and no keyframe
         # crossed the 90% redundancy bar organically, drop the single
         # MOST redundant unprotected keyframe so the session can
@@ -232,6 +344,36 @@ class System:
             lambda m: cull_redundant_keyframes(
                 m, redundancy_th=0.0, keep_latest=3, max_cull=1))
 
+        def _newest_kf_delta(m_pre: MapState, m_post: MapState):
+            cur = jnp.clip(m_pre.n_kf - 1, 0, MK - 1)
+            Rb, tb = m_pre.kf_R[cur], m_pre.kf_t[cur]
+            Ra, ta = m_post.kf_R[cur], m_post.kf_t[cur]
+            dR = Ra @ Rb.T
+            dt = ta - dR @ tb
+            return dR, dt
+
+        def _polish_slice(m: MapState, lam, prune, wcfg):
+            """One wide/global BA iteration + the newest-KF delta for
+            rebasing the speculative pose chain."""
+            m2 = local_bundle_adjustment(
+                m, self._K, wcfg, iters=1, damping=lam, prune=prune)
+            dR, dt = _newest_kf_delta(m, m2)
+            return m2, dR, dt
+
+        wide_cfg = dataclasses.replace(
+            config.map, ba_window=min(MK, 64))
+        glob_cfg = dataclasses.replace(config.map, ba_window=MK)
+        self._wide_slice = jax.jit(
+            lambda m, lam, prune: _polish_slice(m, lam, prune, wide_cfg))
+        self._global_slice = jax.jit(
+            lambda m, lam, prune: _polish_slice(m, lam, prune, glob_cfg))
+
+        def _rebase_st(st: LoopState, dR, dt):
+            return st._replace(
+                R=dR @ st.R, t=dR @ st.t + dt,
+                R2=dR @ st.R2, t2=dR @ st.t2 + dt)
+        self._rebase_st = jax.jit(_rebase_st)
+
         from send_slam_tpu.models.loop_closing import (
             apply_loop_correction, compute_loop_sim3, loop_candidate,
         )
@@ -240,16 +382,12 @@ class System:
         self._loop_sim3 = jax.jit(
             lambda m, kf, cand, key: compute_loop_sim3(
                 m, kf, cand, key, tr, min_matches=tr.loop_min_matches))
-        self._loop_apply = jax.jit(
-            lambda m, kf, cand, loop: apply_loop_correction(
-                m, kf, cand, loop))
-        from send_slam_tpu.models.local_ba import (
-            global_bundle_adjustment, wide_bundle_adjustment,
-        )
-        self._wide_ba_step = jax.jit(
-            lambda m: wide_bundle_adjustment(m, self._K, config.map))
-        self._global_ba_step = jax.jit(
-            lambda m: global_bundle_adjustment(m, self._K, config.map))
+
+        def _loop_apply_fn(m, kf, cand, loop):
+            m2 = apply_loop_correction(m, kf, cand, loop)
+            dR, dt = _newest_kf_delta(m, m2)
+            return m2, dR, dt
+        self._loop_apply = jax.jit(_loop_apply_fn)
         self.loops_closed = 0
 
         # Atlas multi-map (models/atlas.py): frozen MapStates parked on
@@ -280,6 +418,20 @@ class System:
 
     # ------------------------------------------------------------------
 
+    def _fresh_loop_state(self) -> LoopState:
+        cfg = self.cfg
+        eye = jnp.eye(3, dtype=jnp.float32)
+        zero = jnp.zeros(3, jnp.float32)
+        return LoopState(
+            R=eye, t=zero, R2=eye, t2=zero,
+            has_vel=jnp.asarray(False),
+            frames_since_kf=jnp.asarray(0, jnp.int32),
+            inliers_at_kf=jnp.asarray(0, jnp.int32),
+            # No BA slices until the first covis window exists.
+            ba_it=jnp.asarray(cfg.tracking.ba_slice_max, jnp.int32),
+            ba_window=jnp.full((cfg.map.ba_window,),
+                               cfg.map.max_keyframes, jnp.int32))
+
     def warmup(self, image_dtype=np.uint8) -> None:
         """Compile every jitted program the runtime can hit — one dummy
         call each — so no XLA compilation lands mid-sequence.
@@ -309,24 +461,25 @@ class System:
         init_res = self._init_step(frame, frame, key)
         m = self._bootstrap_map(self.map, frame, frame, init_res)
 
-        eye = jnp.eye(3, dtype=jnp.float32)
-        zero = jnp.zeros(3, jnp.float32)
-        m2, fr2, res, summary = self._frame_step(
-            m, eye, zero, eye, zero, jnp.asarray(True), img_raw, 1.0)
-        m3, kf_id, _ = self._insert_kf_step(
-            m2, res.R, res.t, fr2, res.matches.idx,
-            res.matches.valid & res.inlier, jnp.asarray(False))
-        m3 = self._local_ba_step(m3)
-        m3 = self._wide_ba_step(m3)
+        st = self._fresh_loop_state()
+        m2, st2, summary = self._frame_step(
+            m, st, img_raw, 1.0, jnp.asarray(False))
+        m3 = self._maintain_step(m2)
+        lam = jnp.asarray(1e-3, jnp.float32)
+        pr = jnp.asarray(False)
+        m3, dR, dt = self._wide_slice(m3, lam, pr)
+        m3g, _dR, _dt = self._global_slice(m3, lam, pr)
+        _st3 = self._rebase_st(st2, dR, dt)
         _mf, _nc = self._forced_cull_step(m3)
         _mc, _nv = self._compact_step(m3)
+        _ids = self._covis_window(m3)
+        kf_id = jnp.asarray(1, jnp.int32)
         cand, score = self._loop_candidate(m3, kf_id)
         loop = self._loop_sim3(m3, kf_id, cand, key)
-        m4 = self._loop_apply(m3, kf_id, cand, loop)
-        m4 = self._global_ba_step(m4)
-        res_r, _sc = self._reloc_step(m3, fr2, key)
+        m4, _dR, _dt = self._loop_apply(m3, kf_id, cand, loop)
+        res_r, _sc = self._reloc_step(m3, frame, key)
         try:
-            jax.block_until_ready((m4, summary, res_r))
+            jax.block_until_ready((m4, m3g, summary, res_r))
         except Exception:
             pass
         # Drain one host fetch of the summary so the first real fetch
@@ -341,29 +494,29 @@ class System:
         self.map: MapState = empty_map(cfg.map, cfg.orb.n_features)
         self.state = TRACKING_NO_IMAGES_YET
         self._ref_frame: Optional[Frame] = None
-        self._R = jnp.eye(3, dtype=jnp.float32)   # current Tcw
-        self._t = jnp.zeros(3, jnp.float32)
-        self._R2 = self._R                        # one-older pose
-        self._t2 = self._t
-        self._has_vel = jnp.asarray(False)
-        self._vel = None                          # (Rv, tv) motion model
-        self._frames_since_kf = 0
-        self._inliers_at_kf = 0
+        self._st = self._fresh_loop_state()
         self._lost_frames = 0
         self._last_inliers = 0
         self._n_kf_host = 0        # keyframes ever inserted (monotonic)
-        self._slots_used = 0       # host mirror of device n_kf (append slot)
+        self._slots_used = 0       # host mirror of device n_kf (lagged)
         self._pending_loop = None
-        self._loop_consistency = None   # last probe's candidate slot
+        self._loop_consistency = None   # (last candidate slot, run length)
         self.loop_attempts: List[tuple] = []
         # Next keyframe's incoming chain edge crosses a relocalization
         # (the relative pose there is a jump, not motion) — recorded on
         # the keyframe itself (MapState.kf_chain_break).
         self._reloc_boundary_next_kf = False
+        # Wide/global polish queue: (kind, lam, prune) slices, one
+        # dispatched per frame.
+        self._polish_queue: List[tuple] = []
+        self._compact_cooldown = 0
+        # Scored multi-pair init (see TrackingConfig.init_probation_*).
+        self._init_best = None      # (score, res, ref_frame, cur_frame, ts)
+        self._init_probes_left = 0
         # Pipelined tracking: in-flight frames awaiting their (lagged)
-        # summary fetch. Each entry: dict(ts, frame, res, summary,
-        # R_prev, t_prev) — R/t_prev are the pre-frame pose refs used
-        # to rewind when the frame turns out lost.
+        # summary fetch. Each entry: dict(ts, st_prev, future) —
+        # st_prev is the pre-frame LoopState used to rewind when the
+        # frame turns out lost.
         self._pending: List[dict] = []
         self._ready: List[TrackOutput] = []
         self._last_out: Optional[TrackOutput] = None
@@ -371,6 +524,9 @@ class System:
         self._kf_trajectory: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._reloc_failures = 0
         self._pending_weld = None
+        # Bench/debug observability (VERDICT r2 item 9): init cost.
+        self.init_attempts = 0
+        self.init_commit_ts: Optional[float] = None
 
     def get_tracking_state(self) -> int:
         return self.state
@@ -404,68 +560,111 @@ class System:
 
     # ------------------------------------------------------------------
 
+    def _commit_init(self, ref_frame, cur_frame, res, timestamp) -> None:
+        self.map = self._bootstrap_map(self.map, ref_frame, cur_frame, res)
+        self._st = self._fresh_loop_state()._replace(
+            R=res.R, t=res.t, R2=res.R, t2=res.t,
+            inliers_at_kf=res.n_good.astype(jnp.int32))
+        self.state = TRACKING_OK
+        self._n_kf_host = 2
+        self._slots_used = 2
+        self._last_inliers = int(res.n_good)
+        self._init_best = None
+        self._init_probes_left = 0
+        self.init_commit_ts = timestamp
+        ts_ref = float(np.asarray(ref_frame.timestamp))
+        eye_p, eye_q = np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0])
+        self._kf_trajectory.append((ts_ref, eye_p, eye_q))
+        ts_cur = float(np.asarray(cur_frame.timestamp))
+        Rwc, twc = se3_inverse(res.R, res.t)
+        self._kf_trajectory.append(
+            (ts_cur, np.asarray(twc), np.asarray(quat_from_rotmat(Rwc))))
+
     def _try_initialize(self, frame: Frame, timestamp: float) -> None:
+        """Scored multi-pair two-view init: acceptable pairs only
+        commit immediately when clearly strong; otherwise a short
+        probation window keeps the BEST acceptable pair (support x
+        parallax). The first-acceptable-pair policy was the round-2
+        init lottery — one weak accepted init (low parallax / marginal
+        support) set the whole run's accuracy."""
+        tr = self.cfg.tracking
         if self._ref_frame is None:
-            if int(frame.feat.num_valid()) >= self.cfg.tracking.init_min_matches:
+            if int(frame.feat.num_valid()) >= tr.init_min_matches:
                 self._ref_frame = frame
                 self.state = TRACKING_NOT_INITIALIZED
             return
 
         self._key, sub = jax.random.split(self._key)
         res = self._init_step(self._ref_frame, frame, sub)
-        if bool(res.ok):
-            self.map = self._bootstrap_map(
-                self.map, self._ref_frame, frame, res)
-            self._R, self._t = res.R, res.t
-            self._R2, self._t2 = res.R, res.t
-            self._has_vel = jnp.asarray(False)
-            self.state = TRACKING_OK
-            self._n_kf_host = 2
-            self._slots_used = 2
-            self._last_inliers = int(res.n_good)
-            self._inliers_at_kf = self._last_inliers
-            self._frames_since_kf = 0
-            ts_ref = float(np.asarray(self._ref_frame.timestamp))
-            eye_p, eye_q = np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0])
-            self._kf_trajectory.append((ts_ref, eye_p, eye_q))
-            pos, quat = self._twc()
-            self._kf_trajectory.append((timestamp, pos, quat))
+        self.init_attempts += 1
+        ok = bool(res.ok)
+        score = float(res.score) if ok else -1.0
+
+        if ok:
+            if self._init_best is None or score > self._init_best[0]:
+                self._init_best = (score, res, self._ref_frame, frame,
+                                   timestamp)
+            if score >= tr.init_strong_frac * tr.init_min_matches \
+                    or tr.init_probation_frames <= 0:
+                self._commit_init(self._ref_frame, frame, res, timestamp)
+                return
+            if self._init_probes_left <= 0:
+                self._init_probes_left = tr.init_probation_frames
+            else:
+                self._init_probes_left -= 1
+                if self._init_probes_left <= 0:
+                    best = self._init_best
+                    self._commit_init(best[2], best[3], best[1], best[4])
+                    return
         else:
+            if self._init_best is not None:
+                # Candidate pairs stopped verifying (scene moved on):
+                # commit the best we saw rather than discarding it.
+                self._init_probes_left -= 1
+                if self._init_probes_left <= 0:
+                    best = self._init_best
+                    self._commit_init(best[2], best[3], best[1], best[4])
+                    return
             # Slide the reference forward if it is getting stale.
             ts_ref = float(np.asarray(self._ref_frame.timestamp))
             if timestamp - ts_ref > 1.0:
                 self._ref_frame = frame
+                self._init_best = None
+                self._init_probes_left = 0
 
     def _track_pipelined(self, gray, timestamp: float) -> TrackOutput:
         """Dispatch this frame with no host sync; fetch and act on the
-        PREVIOUS frame's 8-float summary (whose device->host copy has
+        PREVIOUS frame's 12-float summary (whose device->host copy has
         been in flight since its dispatch). One frame of decision lag
         buys a tracking loop that is dispatch-bound instead of
         sync-latency-bound — on a remote-attached TPU that is the
-        difference between ~8 fps and real-time."""
+        difference between ~8 fps and real-time. Keyframe decisions no
+        longer ride this lag: they are made in-graph by the frame step
+        itself."""
+        # One queued wide/global polish slice rides ahead of the frame
+        # dispatch (device work only — never blocks the host).
+        if self._polish_queue:
+            kind, lam, prune = self._polish_queue.pop(0)
+            step = self._wide_slice if kind == "wide" else self._global_slice
+            self.map, _dR, _dt = step(
+                self.map, jnp.asarray(lam, jnp.float32), jnp.asarray(prune))
+            # No chain rebase: polish deltas are small enough for the
+            # next frame's pose GN to absorb (see frame_step note).
+
         arr = jnp.asarray(gray)
-        R_prev, t_prev = self._R, self._t
-        m2, frame, res, summary = self._frame_step(
-            self.map, self._R, self._t, self._R2, self._t2,
-            self._has_vel, arr, timestamp)
+        st_prev = self._st
+        chain_break = jnp.asarray(self._reloc_boundary_next_kf)
+        m2, st2, summary = self._frame_step(
+            self.map, self._st, arr, timestamp, chain_break)
         fut = self._fetch_pool.submit(np.asarray, summary)
-        self._pending.append(dict(
-            ts=timestamp, frame=frame, res=res, summary=summary,
-            future=fut, R_prev=R_prev, t_prev=t_prev))
-        # Advance the device-side pose chain speculatively.
-        self._R2, self._t2 = self._R, self._t
-        self._R, self._t = res.R, res.t
-        self._has_vel = jnp.asarray(True)
-        self.map = m2
+        self._pending.append(dict(ts=timestamp, st_prev=st_prev, future=fut))
+        self.map, self._st = m2, st2
 
         # Elastic drain: pop lagged entries whose background fetch has
         # landed. The fetch threads absorb the device->host RTT (and
         # the occasional seconds-long relay stall) while this loop
         # keeps dispatching; only a pipeline backed up beyond
-        # 4x pipeline_depth blocks on the oldest fetch. (Round 1
-        # stacked pending summaries into a NEW device array and synced
-        # on that — a full freshly-computed-value fetch per drain and
-        # the main median-vs-mean gap.)
+        # stretch x pipeline_depth blocks on the oldest fetch.
         depth = self.cfg.tracking.pipeline_depth
         stretch = self.cfg.tracking.pipeline_stretch
         while len(self._pending) > depth:
@@ -491,12 +690,13 @@ class System:
         tr = self.cfg.tracking
         if summary_np is not None:
             s = summary_np
-        elif "future" in ent:
-            s = ent["future"].result()
         else:
-            s = np.asarray(ent["summary"])
-        n_inl = int(s[0])
-        pos, quat = s[1:4], s[4:8]
+            s = ent["future"].result()
+        n_inl = int(s[S_INLIERS])
+        pos, quat = s[S_POS:S_POS + 3], s[S_QUAT:S_QUAT + 4]
+        inserted = s[S_KF] > 0.5
+        n_kf = int(s[S_NKF])
+        kf_slot = int(s[S_SLOT])
         ts = ent["ts"]
 
         if n_inl < tr.min_track_matches:
@@ -504,15 +704,14 @@ class System:
             # two-view geometry was bad (monocular init is a lottery on
             # low-parallax scenes): discard the young map and re-
             # initialize, like ORB-SLAM's reset-if-few-keyframes.
-            if self._n_kf_host <= 5:
+            if n_kf <= 5:
                 self.reset()
                 return TrackOutput(self.state, None, None, 0, ts)
             # The frame starved even after the in-graph wide rescue:
             # rewind the pose chain to before this frame and drop the
             # speculatively dispatched newer in-flight entries.
-            self._R, self._t = ent["R_prev"], ent["t_prev"]
-            self._R2, self._t2 = self._R, self._t
-            self._has_vel = jnp.asarray(False)
+            self._st = ent["st_prev"]._replace(
+                has_vel=jnp.asarray(False))
             self._pending.clear()
             self._lost_frames += 1
             # A couple of in-place retries, then full relocalization
@@ -526,12 +725,12 @@ class System:
         self._last_inliers = n_inl
         self._lost_frames = 0
         self.state = TRACKING_OK
-        self._frames_since_kf += 1
 
         self._maybe_close_loop()
         self._maybe_weld()
-        if self._need_keyframe(n_inl):
-            self._insert_keyframe(ent["frame"], ent["res"])
+        if inserted:
+            self._on_keyframe_inserted(kf_slot, n_kf, ts, pos, quat)
+        self._maybe_compact(n_kf)
 
         self._trajectory.append((ts, pos, quat))
         out = TrackOutput(TRACKING_OK, pos, quat, n_inl, ts)
@@ -556,15 +755,14 @@ class System:
         the session; the weld happens on re-detection)."""
         self._key, sub = jax.random.split(self._key)
         res, score = self._reloc_step(self.map, frame, sub)
-        if int(res.n_inliers) >= self.cfg.tracking.min_track_matches:
-            self._R, self._t = res.R, res.t
-            self._R2, self._t2 = res.R, res.t
-            self._has_vel = jnp.asarray(False)
+        if int(res.n_inliers) >= self.cfg.tracking.reloc_min_matches:
+            self._st = self._st._replace(
+                R=res.R, t=res.t, R2=res.R, t2=res.t,
+                has_vel=jnp.asarray(False))
             self.state = TRACKING_OK
             self._last_inliers = int(res.n_inliers)
             self._lost_frames = 0
             self._reloc_failures = 0
-            self._frames_since_kf += 1
             self._reloc_boundary_next_kf = True
             return
         self._reloc_failures += 1
@@ -583,19 +781,22 @@ class System:
         key, atlas = self._key, self.atlas
         loops, welds = self.loops_closed, self.welds_done
         attempts = self.loop_attempts
+        n_init, ts_init = self.init_attempts, self.init_commit_ts
         self.reset()
         self._trajectory, self._kf_trajectory = traj, kf_traj
         self._key, self.atlas = key, atlas
         self.loops_closed, self.welds_done = loops, welds
         self.loop_attempts = attempts
+        self.init_attempts, self.init_commit_ts = n_init, ts_init
 
     def _maybe_close_loop(self) -> None:
         """Two-phase, never blocking the frame loop:
         phase 1 — candidate score fetched in the background; if it
         clears the bar, dispatch the Sim3 verification and background-
         fetch ITS verdict; phase 2 — on a verified loop, dispatch the
-        pose-graph correction + whole-map BA (pure device work, no
-        sync). The frame loop only ever inspects completed futures."""
+        pose-graph correction, then enqueue global-BA polish slices
+        (pure device work, no sync). The frame loop only ever inspects
+        completed futures."""
         if self._pending_loop is None:
             return
         tr = self.cfg.tracking
@@ -620,14 +821,19 @@ class System:
             # Temporal consistency (KeyFrameDatabase's consistency
             # groups): the retrieval hit must point at the same map
             # REGION (within loop_consistency_radius slots) on
-            # consecutive keyframe probes before a Sim3 verification is
-            # spent — one aliased-texture hit cannot trigger a loop.
+            # loop_consistency_kf consecutive keyframe probes before a
+            # Sim3 verification is spent — one aliased-texture hit
+            # cannot trigger a loop. _loop_consistency carries
+            # (last candidate slot, consecutive consistent run length).
             prev = self._loop_consistency
-            self._loop_consistency = cand_val
-            if (tr.loop_consistency_kf > 1
-                    and (prev is None
-                         or abs(cand_val - prev)
-                         > tr.loop_consistency_radius)):
+            if (prev is not None
+                    and abs(cand_val - prev[0])
+                    <= tr.loop_consistency_radius):
+                run = prev[1] + 1
+            else:
+                run = 1
+            self._loop_consistency = (cand_val, run)
+            if run < tr.loop_consistency_kf:
                 self._pending_loop = None
                 self.loop_attempts.append(
                     (int(kf_slot), cand_val, score, None))
@@ -649,8 +855,11 @@ class System:
         verified = bool(ok_fut.result())
         if verified:
             kf_prev = jnp.asarray(kf_slot, jnp.int32)
-            self.map = self._loop_apply(self.map, kf_prev, cand_prev, loop)
-            self.map = self._global_ba_step(self.map)
+            self.map, dR, dt = self._loop_apply(
+                self.map, kf_prev, cand_prev, loop)
+            self._st = self._rebase_st(self._st, dR, dt)
+            self._enqueue_polish("global",
+                                 self.cfg.tracking.global_ba_slices)
             self.loops_closed += 1
         self.loop_attempts.append(
             (int(kf_slot), int(cand_fut.result()), score, verified))
@@ -695,103 +904,104 @@ class System:
         self._slots_used = int(np.asarray(self.map.n_kf))
         self._n_kf_host = max(self._n_kf_host, self._slots_used)
         # Whole-map refinement welds the seams (RunGlobalBundle-
-        # Adjustment after a merge).
-        self.map = self._global_ba_step(self.map)
+        # Adjustment after a merge) — sliced, one iteration per frame.
+        self._enqueue_polish("global", self.cfg.tracking.global_ba_slices)
         self.welds_done += 1
         self._pending_loop = None   # slot-stale after import
+        # Imported keyframes change the covisibility structure.
+        self._st = self._st._replace(ba_window=self._covis_window(self.map))
 
-    def _need_keyframe(self, n_inl: int) -> bool:
+    def _enqueue_polish(self, kind: str, n_slices: int) -> None:
+        """Queue ``n_slices`` single-iteration BA slices with a decaying
+        damping schedule; pruning arms on the final slice only (pruning
+        an under-converged window eats true observations)."""
+        base = self.cfg.tracking.ba_slice_damping
+        self._polish_queue = [
+            (kind, max(base * (0.5 ** i), base * 1e-2),
+             i == n_slices - 1)
+            for i in range(n_slices)]
+
+    def _maybe_compact(self, n_kf_lagged: int) -> None:
+        """Host-side capacity management. The in-graph keyframe guard
+        stops inserting at MK-1; the host compacts (and if needed
+        force-culls) when the LAGGED count approaches capacity, with
+        margin for in-flight inserts. A short cooldown stops a
+        saturated-but-uncullable table from re-compacting every
+        frame."""
         cfg = self.cfg
-        # _slots_used mirrors the device-side append cursor so this
-        # check never reads a device scalar (a per-frame host sync).
-        if self._slots_used >= cfg.map.max_keyframes - 1:
-            # Table full: compact it — redundant-KF culling frees slots
-            # continuously, so compaction reclaims them and the map
-            # capacity bounds the ACTIVE window, not the session
-            # length. One device fetch at compaction rate (rare).
+        MK = cfg.map.max_keyframes
+        if self._compact_cooldown > 0:
+            self._compact_cooldown -= 1
+            return
+        if n_kf_lagged < MK - 2:
+            return
+        self._compact_cooldown = cfg.tracking.kf_min_interval + 1
+        self.map, n_valid = self._compact_step(self.map)
+        self._slots_used = int(np.asarray(n_valid))
+        # Slot ids shifted: pending slot-addressed probes and the
+        # carried covis window are stale.
+        self._pending_loop = None
+        self._pending_weld = None
+        self._loop_consistency = None
+        self._st = self._st._replace(ba_window=self._covis_window(self.map))
+        if self._slots_used >= MK - 2:
+            # Organic 90%-redundancy culling freed nothing: evict
+            # the most redundant unprotected keyframe instead.
+            self.map, _nc = self._forced_cull_step(self.map)
             self.map, n_valid = self._compact_step(self.map)
             self._slots_used = int(np.asarray(n_valid))
-            # Slot ids shifted: pending slot-addressed probes are stale.
-            self._pending_loop = None
-            self._pending_weld = None
-            self._loop_consistency = None
-            if self._slots_used >= cfg.map.max_keyframes - 1:
-                # Organic 90%-redundancy culling freed nothing: evict
-                # the most redundant unprotected keyframe instead.
-                self.map, _nc = self._forced_cull_step(self.map)
-                self.map, n_valid = self._compact_step(self.map)
-                self._slots_used = int(np.asarray(n_valid))
-                if self._slots_used >= cfg.map.max_keyframes - 1:
-                    return False  # nothing cullable at all
-        if self._frames_since_kf < cfg.tracking.kf_min_interval:
-            return False
-        weak = n_inl < cfg.tracking.kf_tracked_ratio * max(self._inliers_at_kf, 1)
-        stale = self._frames_since_kf >= cfg.tracking.kf_max_interval
-        return weak or stale
+            self._st = self._st._replace(
+                ba_window=self._covis_window(self.map))
 
-    def _insert_keyframe(self, frame: Frame, track_res) -> None:
-        # The keyframe's pose is its own frame's tracked pose (the
-        # speculative chain may already be a frame ahead).
-        self.map, kf_id, n_new = self._insert_kf_step(
-            self.map, track_res.R, track_res.t, frame,
-            track_res.matches.idx, track_res.matches.valid & track_res.inlier,
-            jnp.asarray(self._reloc_boundary_next_kf))
-        self.map = self._local_ba_step(self.map)
+    def _on_keyframe_inserted(self, kf_slot: int, n_kf: int, ts: float,
+                              pos, quat) -> None:
+        """Keyframe-rate host reactions to an IN-GRAPH insert, learned
+        from the lagged summary: maintenance dispatch, wide-BA polish
+        scheduling, loop-closing probe, atlas weld probe, trajectory
+        bookkeeping."""
         self._n_kf_host += 1
-        self._slots_used += 1
+        self._slots_used = n_kf
         self._reloc_boundary_next_kf = False
-        # Periodic wide-window BA (cheap at 1/8 keyframe rate): grinds
-        # down accumulated drift and residual init error that the
-        # marching local window cannot reach.
-        if self._n_kf_host % 8 == 0:
-            self.map = self._wide_ba_step(self.map)
+        self._kf_trajectory.append((ts, np.asarray(pos), np.asarray(quat)))
+
+        # LocalMapping tail: zero-obs pruning + redundant-KF culling.
+        self.map = self._maintain_step(self.map)
+
+        # Periodic wide-window polish (sliced): grinds down accumulated
+        # drift and residual init error the marching local window
+        # cannot reach.
+        tr = self.cfg.tracking
+        if tr.wide_ba_every_kf > 0 \
+                and self._n_kf_host % tr.wide_ba_every_kf == 0 \
+                and not self._polish_queue:
+            self._enqueue_polish("wide", tr.wide_ba_slices)
 
         # Loop closing: dispatch the candidate retrieval now; its score
         # is read lazily a few frames later (_maybe_close_loop at frame
-        # rate) once the device->host copy has completed. The keyframe
-        # slot is mirrored host-side (_slots_used) so no device scalar
-        # is ever fetched for bookkeeping.
-        tr = self.cfg.tracking
-        if self._slots_used - 1 >= tr.loop_min_gap_kf:
-            cand, score = self._loop_candidate(self.map, kf_id)
+        # rate) once the device->host copy has completed.
+        if kf_slot >= tr.loop_min_gap_kf and self._pending_loop is None:
+            kf_dev = jnp.asarray(kf_slot, jnp.int32)
+            cand, score = self._loop_candidate(self.map, kf_dev)
             self._pending_loop = (
-                self._slots_used - 1, cand,
+                kf_slot, cand,
                 self._fetch_pool.submit(np.asarray, score),
                 self._fetch_pool.submit(np.asarray, cand))
 
         # Atlas weld probe: score the new keyframe's signature against
         # every frozen map's keyframe database; evaluated lazily once
         # the background fetch lands.
-        if self.atlas:
-            sig = self.map.kf_signature[kf_id]
+        if self.atlas and self._pending_weld is None:
+            sig = self.map.kf_signature[kf_slot]
             cands = []
             for fz in self.atlas:
                 c, sc = self._atlas_cand(fz, sig)
                 cands.append((c, self._fetch_pool.submit(np.asarray, sc)))
-            self._pending_weld = (self._slots_used - 1, cands)
-
-        # Propagate the BA adjustment to the speculative pose chain as a
-        # left delta: Δ = T_kf_ba ∘ T_kf_pre^-1 applied to every chain
-        # pose — the chain may have advanced past the keyframe while it
-        # was in flight, and the relative motion (velocity) must
-        # survive the correction. All lazy device ops, no sync.
-        R_pre, t_pre = track_res.R, track_res.t
-        R_ba = self.map.kf_R[kf_id]
-        t_ba = self.map.kf_t[kf_id]
-        dR = R_ba @ R_pre.T
-        dt = t_ba - dR @ t_pre
-        self._R, self._t = dR @ self._R, dR @ self._t + dt
-        self._R2, self._t2 = dR @ self._R2, dR @ self._t2 + dt
-        self._frames_since_kf = 0
-        self._inliers_at_kf = self._last_inliers
-        pos, quat = self._twc()
-        self._kf_trajectory.append(
-            (float(np.asarray(frame.timestamp)), pos, quat))
+            self._pending_weld = (kf_slot, cands)
 
     # ------------------------------------------------------------------
 
     def _twc(self) -> Tuple[np.ndarray, np.ndarray]:
-        Rwc, twc = se3_inverse(self._R, self._t)
+        Rwc, twc = se3_inverse(self._st.R, self._st.t)
         q = quat_from_rotmat(Rwc)
         return np.asarray(twc), np.asarray(q)
 
@@ -804,10 +1014,11 @@ class System:
         corrections applied after insertion are reflected, and culled
         keyframes are omitted (like ORB-SLAM, whose saved keyframe
         trajectory is the corrected, culled one)."""
-        if self._slots_used == 0:
+        n_dev = int(np.asarray(self.map.n_kf))
+        if n_dev == 0:
             return np.zeros(0), np.zeros((0, 3)), np.zeros((0, 4))
         valid = np.asarray(self.map.kf_valid)
-        n = min(self._slots_used, self.map.max_keyframes)
+        n = min(n_dev, self.map.max_keyframes)
         sel = np.nonzero(valid[:n])[0]
         if len(sel) == 0:
             return np.zeros(0), np.zeros((0, 3)), np.zeros((0, 4))
@@ -838,7 +1049,7 @@ class System:
         return save_map(self.map, path)
 
     def load_map(self, path: Optional[str] = None) -> None:
-        """Resume from a checkpoint: tracking restarts by PnP
+        """Resume from a checkpoint: tracking restarts by
         relocalization against the loaded landmarks (multi-session
         mapping, BASELINE.json config 5)."""
         from send_slam_tpu.io.map_io import load_map
@@ -847,8 +1058,9 @@ class System:
         self._slots_used = self._n_kf_host
         self.state = TRACKING_LOST
         self._ref_frame = None
-        self._vel = None
         self._lost_frames = 0
+        self._st = self._st._replace(
+            ba_window=self._covis_window(self.map))
 
     def shutdown(self) -> None:
         pass

@@ -158,3 +158,60 @@ class TestGlobalBA:
         assert dt1 < 2e-3, dt1
         assert ang1 < 2e-3, ang1
         assert lm1 < 5e-3, lm1
+
+
+class TestChunkedBA:
+    """The keyframe-chunked assembly path (windows wider than kf_chunk
+    — flagship global BA would OOM building one (ML, W*N) one-hot)
+    must solve the SAME joint problem as the single-block path."""
+
+    def test_chunked_matches_single_block(self):
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem(
+            pose_noise=0.05, lm_noise=0.08)
+        ref = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=8))(m)
+        # Force chunking: 3 chunks of 2 keyframes over the same window.
+        chk = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=8, kf_chunk=2))(m)
+        assert np.allclose(np.asarray(ref.kf_t), np.asarray(chk.kf_t),
+                           atol=2e-3)
+        assert np.allclose(np.asarray(ref.lm_pos), np.asarray(chk.lm_pos),
+                           atol=5e-3)
+        # And it converges on its own terms.
+        ang1, dt1 = pose_err(chk, kf_R, kf_t, n_kf)
+        assert dt1 < 2e-3 and ang1 < 2e-3, (dt1, ang1)
+
+    def test_chunked_prunes_outliers(self):
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem(
+            pose_noise=0.0, lm_noise=0.0)
+        uv = np.array(m.kf_uv)
+        uv[3, 5] += np.array([80.0, -60.0], np.float32)
+        m = m._replace(kf_uv=jnp.asarray(uv))
+        m2 = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=5, kf_chunk=2))(m)
+        obs = np.asarray(m2.kf_obs_lm)
+        assert obs[3, 5] == -1
+
+
+class TestBASlice:
+    """Amortized BA: N single-iteration slices with externally-decayed
+    damping must converge like one N-iteration burst."""
+
+    def test_slices_converge_like_burst(self):
+        from send_slam_tpu.models.local_ba import ba_slice
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem()
+        win = jnp.arange(cfg.ba_window, dtype=jnp.int32)
+        step = jax.jit(lambda mm, lam, pr: ba_slice(
+            mm, K, cfg, win, lam, prune=pr))
+        mm = m
+        for i in range(10):
+            lam = max(1e-3 * 0.5 ** i, 1e-5)
+            mm = step(mm, jnp.asarray(lam, jnp.float32),
+                      jnp.asarray(i >= 3))
+        ang1, dt1 = pose_err(mm, kf_R, kf_t, n_kf)
+        lm1 = np.linalg.norm(np.asarray(mm.lm_pos[:n_lm]) - X_gt,
+                             axis=1).mean()
+        assert dt1 < 1e-3 and ang1 < 1e-3, (dt1, ang1)
+        lm0 = np.linalg.norm(np.asarray(m.lm_pos[:n_lm]) - X_gt,
+                             axis=1).mean()
+        assert lm1 < 0.05 * lm0, (lm0, lm1)
