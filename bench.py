@@ -110,6 +110,13 @@ def main() -> None:
     print(f"# time to first track:  "
           f"{-1.0 if t_first_ok is None else t_first_ok:.2f} s",
           file=sys.stderr)
+    # Init cost (VERDICT r2 item 9): how many candidate pairs were
+    # scored and which sequence timestamp the committed pair carries.
+    commit_ts = sys_.init_commit_ts
+    print(f"# init attempts:        {sys_.init_attempts}", file=sys.stderr)
+    print(f"# init committed at:    "
+          f"{-1.0 if commit_ts is None else commit_ts:.3f} s (seq time)",
+          file=sys.stderr)
     print(f"# median tracking time: {med*1e3:.2f} ms", file=sys.stderr)
     print(f"# mean tracking time:   {mean*1e3:.2f} ms", file=sys.stderr)
     print(f"# tracked frames:       {n_ok}/{n_frames}", file=sys.stderr)

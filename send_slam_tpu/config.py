@@ -182,6 +182,12 @@ class TrackingConfig:
     # groups; 1 disables).
     loop_consistency_kf: int = 2
     loop_consistency_radius: int = 3
+    # Essential-graph covisibility edges measured across more than this
+    # many keyframe slots of accumulated drift are dropped from loop
+    # PGO (0 = unlimited). Long-range edges measured in DRIFTED
+    # coordinates fight the very correction the loop supplies — see
+    # covisibility.covis_edges and the round-3 A/B note in CLAUDE.md.
+    loop_covis_max_gap: int = 0
     # Relocalization acceptance: stricter than min_track_matches —
     # a marginal wide-window "success" from unmapped territory resets
     # the atlas patience counter forever and blocks the map freeze

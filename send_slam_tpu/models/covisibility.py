@@ -80,6 +80,33 @@ def covis_window_ids(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return ids_sorted.astype(jnp.int32), ids_sorted < MK
 
 
+def wide_window_ids(m: MapState, W: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hybrid wide-BA window: the newest W//2 keyframes (the structure
+    being actively refined) plus the W - W//2 keyframes most covisible
+    with that recent set. Pure recency (the round-2 wide window) misses
+    exactly the constraint that grinds drift down on an out-and-back
+    revisit: the OLD keyframes whose landmarks the camera re-observes
+    (VERDICT r2 weak #9). Sorted ascending, padded with MK.
+
+    Returns (ids (W,) int32, valid (W,) bool)."""
+    MK = m.max_keyframes
+    ids = jnp.arange(MK)
+    n = jnp.minimum(m.n_kf, MK)
+    R = W // 2
+    recent = (ids >= n - R) & (ids < n) & m.kf_valid
+    C = covisibility_matrix(m)
+    # Covisibility mass of every keyframe with the recent set.
+    mass = jnp.sum(C * recent[None, :].astype(C.dtype), axis=1)   # (MK,)
+    eligible = m.kf_valid & (ids < n) & ~recent
+    score = jnp.where(eligible & (mass > 0), mass, -1.0)
+    top_v, top_i = jax.lax.top_k(score, W - R)
+    sel = jnp.where(top_v > 0, top_i, MK)
+    rec_sorted = jnp.sort(jnp.where(recent, ids, MK))[:R]
+    all_ids = jnp.concatenate([sel, rec_sorted])
+    out = jnp.sort(jnp.where(all_ids < MK, all_ids, MK))
+    return out.astype(jnp.int32), out < MK
+
+
 def covis_edges(m: MapState, top_k: int = 5,
                 min_shared: float = 30.0,
                 max_gap: int = 0) -> PoseGraphEdges:

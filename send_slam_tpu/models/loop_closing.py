@@ -34,6 +34,18 @@ def loop_candidate(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Best retrieval candidate for keyframe kf_id, excluding temporal
     neighbours. Returns (cand_id, score)."""
+    cands, scores = loop_candidates(m, kf_id, min_gap, k=1)
+    return cands[0], scores[0]
+
+
+def loop_candidates(
+    m: MapState, kf_id: jnp.ndarray, min_gap: int = 20, k: int = 3,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k retrieval candidates for keyframe kf_id, excluding
+    temporal neighbours — ORB-SLAM3's DetectLoopCandidates returns a
+    candidate SET that geometric verification filters; argmax-only
+    retrieval lets one strong false match (repeated texture) preempt
+    the true loop (VERDICT r2 weak #7). Returns (cands (k,), scores)."""
     from send_slam_tpu.models.retrieval import idf_weights
 
     query = m.kf_signature[kf_id]
@@ -42,8 +54,8 @@ def loop_candidate(
     ids = jnp.arange(m.max_keyframes)
     ok = m.kf_valid & (jnp.abs(ids - kf_id) >= min_gap)
     scores = jnp.where(ok, scores, -1.0)
-    cand = jnp.argmax(scores).astype(jnp.int32)
-    return cand, scores[cand]
+    top_v, top_i = jax.lax.top_k(scores, k)
+    return top_i.astype(jnp.int32), top_v
 
 
 class LoopSim3(NamedTuple):
@@ -91,6 +103,27 @@ def compute_loop_sim3(
     n_matches = jnp.sum(pair_ok)
     ok = res.ok & (n_matches >= min_matches)
     return LoopSim3(ok=ok, n_matches=n_matches, sim3=res)
+
+
+def compute_loop_sim3_multi(
+    m: MapState, kf_id: jnp.ndarray, cands: jnp.ndarray,
+    key: jnp.ndarray, cfg: TrackingConfig,
+    min_matches: int = 12,
+) -> Tuple[LoopSim3, jnp.ndarray]:
+    """Geometrically verify SEVERAL loop candidates (vmapped) and keep
+    the best verified one (most Sim3 inliers). A confuser region that
+    retrieval scores highest cannot align its landmark cloud; the true
+    revisit can — verification, not retrieval rank, picks the loop.
+    Returns (LoopSim3 of the winner, its candidate id)."""
+    keys = jax.random.split(key, cands.shape[0])
+    res = jax.vmap(
+        lambda c, k2: compute_loop_sim3(m, kf_id, c, k2, cfg,
+                                        min_matches=min_matches)
+    )(cands, keys)
+    score = jnp.where(res.ok, res.sim3.n_inliers, -1)
+    bi = jnp.argmax(score)
+    pick = jax.tree_util.tree_map(lambda x: x[bi], res)
+    return pick, cands[bi]
 
 
 def apply_loop_correction(

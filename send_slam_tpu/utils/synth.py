@@ -131,12 +131,21 @@ class TexturedWorld:
 
     def __init__(self, seed=3, width=640, height=480,
                  fx=520.0, fy=520.0, tex_size=768, depth=8.0,
-                 half_w=5.0, half_h=3.5, noise_sigma=0.0):
+                 half_w=5.0, half_h=3.5, noise_sigma=0.0,
+                 gain_jitter=0.0, blur_sigma=0.0):
         rng = np.random.default_rng(seed)
         self.W, self.H = width, height
         self.fx, self.fy = fx, fy
         self.cx, self.cy = width / 2.0, height / 2.0
+        # Photometric stress knobs (closest zero-egress proxy to real
+        # video): per-frame sensor noise, auto-exposure-style gain
+        # drift (bounded log-gain random walk advanced per render), and
+        # optical blur. The SLAM front end must hold up under all
+        # three — clean renders overfit BRIEF to exact intensities.
         self.noise_sigma = noise_sigma
+        self.gain_jitter = gain_jitter
+        self.blur_sigma = blur_sigma
+        self._log_gain = 0.0
         self._rng = rng
         self.tex = [_value_noise_texture(tex_size, rng) for _ in range(5)]
         self.ts_ = tex_size
@@ -210,6 +219,15 @@ class TexturedWorld:
             img[idx] = self._sample(tex, a[inb], b[inb], x1, x2)
             best_s[idx] = s[idx]
         img = img.reshape(self.H, self.W)
+        if self.blur_sigma > 0:
+            from scipy.ndimage import gaussian_filter
+            img = gaussian_filter(img, self.blur_sigma)
+        if self.gain_jitter > 0:
+            self._log_gain = float(np.clip(
+                0.95 * self._log_gain
+                + self._rng.normal(0, self.gain_jitter),
+                -0.35, 0.35))
+            img = img * np.exp(self._log_gain)
         if self.noise_sigma > 0:
             img = img + self._rng.normal(0, self.noise_sigma, img.shape)
         return np.clip(img, 0, 255).astype(np.float32)

@@ -67,3 +67,65 @@ class TestRelocalize:
             jnp.asarray(kp_uv), jnp.asarray(kp_desc), jnp.ones(n, bool),
             K, jax.random.PRNGKey(1), TrackingConfig())
         assert not bool(res.ok)
+
+
+class TestKidnappedRobot:
+    @staticmethod
+    def _sweep(world, x0, x1, n, fps=30.0, t0=0.0):
+        ts, Rs, tls = [], [], []
+        for k in range(n):
+            x = x0 + (x1 - x0) * k / max(n - 1, 1)
+            R = np.eye(3)
+            c = np.array([x, 0.0, 0.0])
+            ts.append(t0 + k / fps)
+            Rs.append(R)
+            tls.append(-R @ c)
+        return ts, Rs, tls
+
+    def test_load_map_and_recover_from_far_pose(self, tmp_path):
+        """Multi-session resume (BASELINE config 5) + kidnapped robot:
+        build a map over x in [0, 1.2], save it, start a FRESH System,
+        load the map, and feed frames from x ~= 1.0 — an arbitrary
+        mapped viewpoint far from the origin. The multi-candidate
+        reloc (top-k retrieval priors + prior-free PnP RANSAC) must
+        recover and resume tracking (VERDICT r2 item 6)."""
+        from send_slam_tpu.config import (
+            CameraConfig, EngineConfig, MapConfig, OrbConfig,
+            TrackingConfig,
+        )
+        from send_slam_tpu.models.system import System
+        from send_slam_tpu.utils.synth import SyntheticWorld
+
+        world = SyntheticWorld(n_points=900)
+        cfg = EngineConfig(
+            orb=OrbConfig(n_features=512, n_levels=4),
+            camera=CameraConfig(width=world.W, height=world.H,
+                                fx=world.fx, fy=world.fy,
+                                cx=world.cx, cy=world.cy),
+            map=MapConfig(max_keyframes=32, max_landmarks=2048,
+                          ba_window=4),
+            tracking=TrackingConfig(init_min_matches=50,
+                                    pipeline_stretch=1),
+        )
+        ts, Rs, tls = self._sweep(world, 0.0, 1.2, 60)
+        s1 = System(cfg)
+        for k in range(60):
+            s1.track_monocular(world.render(Rs[k], tls[k]), float(ts[k]))
+        s1._flush_pipeline()
+        assert s1._n_kf_host >= 5
+        path = str(tmp_path / "map.npz")
+        s1.save_map(path)
+
+        s2 = System(cfg)
+        s2.load_map(path)
+        from send_slam_tpu.io.protocol import TRACKING_OK
+        ts2, Rs2, tls2 = self._sweep(world, 1.0, 0.9, 12, t0=10.0)
+        states = []
+        for k in range(12):
+            out = s2.track_monocular(world.render(Rs2[k], tls2[k]),
+                                     float(ts2[k]))
+            states.append(out.tracking_state)
+        assert TRACKING_OK in states, states
+        # Once recovered, it STAYS recovered.
+        first_ok = states.index(TRACKING_OK)
+        assert all(st == TRACKING_OK for st in states[first_ok:]), states

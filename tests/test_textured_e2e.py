@@ -17,8 +17,14 @@ from send_slam_tpu.utils.synth import TexturedWorld
 
 @pytest.mark.slow
 def test_tracking_on_textured_scene():
+    """Dense texture + photometric realism (VERDICT r2 item 8): sensor
+    noise, auto-exposure gain drift and optical blur on every frame —
+    the closest zero-egress proxy to real video. The e2e accuracy bar
+    is the SAME as the clean-render bar was."""
     world = TexturedWorld(seed=3, width=320, height=240,
-                          fx=260.0, fy=260.0)
+                          fx=260.0, fy=260.0,
+                          noise_sigma=3.0, gain_jitter=0.05,
+                          blur_sigma=0.6)
     cfg = EngineConfig(
         orb=OrbConfig(n_features=512, n_levels=4),
         camera=CameraConfig(width=320, height=240, fx=260.0, fy=260.0,
