@@ -50,16 +50,27 @@ def out_and_back(n_frames=220, reach=1.8, fps=30.0, hold=16):
 def main():
     n_frames = int(os.environ.get("SLAM_DRIFT_FRAMES", "220"))
     world = SyntheticWorld(n_points=700, seed=5)
+    # A/B knob overrides: SLAM_TR_<tracking_field>=value (typed from
+    # the dataclass field), e.g. SLAM_TR_WIDE_BA_EVERY_KF=4.
+    import dataclasses
+    tr_kwargs = dict(init_min_matches=50, pipeline_depth=2,
+                     pipeline_stretch=1,
+                     # Loop closing OFF: raw odometry only.
+                     loop_score_min=1e9)
+    ftypes = {f.name: type(getattr(TrackingConfig(), f.name))
+              for f in dataclasses.fields(TrackingConfig)}
+    for k, v in os.environ.items():
+        if k.startswith("SLAM_TR_"):
+            name = k[len("SLAM_TR_"):].lower()
+            tr_kwargs[name] = ftypes[name](v)
+            print(f"# override tracking.{name} = {tr_kwargs[name]}")
     cfg = EngineConfig(
         orb=OrbConfig(n_features=512, n_levels=4),
         camera=CameraConfig(width=world.W, height=world.H,
                             fx=world.fx, fy=world.fy,
                             cx=world.cx, cy=world.cy),
         map=MapConfig(max_keyframes=64, max_landmarks=4096, ba_window=4),
-        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=2,
-                                pipeline_stretch=1,
-                                # Loop closing OFF: raw odometry only.
-                                loop_score_min=1e9),
+        tracking=TrackingConfig(**tr_kwargs),
     )
     ts, Rs, tls = out_and_back(n_frames=n_frames)
     gt_pos = np.asarray([-R.T @ t for R, t in zip(Rs, tls)])

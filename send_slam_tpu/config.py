@@ -111,12 +111,13 @@ class TrackingConfig:
     # period): 2 suffices co-located; a remote/tunneled device wants
     # 6+. Decisions (keyframes, lost) lag by this many frames.
     pipeline_depth: int = 2
-    # Elastic-drain bound: the pipeline may stretch to
-    # pipeline_stretch * pipeline_depth in-flight frames while a lagged
-    # summary fetch is still in transit (absorbs relay hiccups on a
-    # remote-attached device) before the loop blocks on the oldest
-    # fetch. 1 = no stretching: pop (blocking) as soon as the pipeline
-    # exceeds depth — deterministic drain order, what CPU tests want.
+    # DEPRECATED no-op (kept so existing configs still construct).
+    # Round 2's elastic drain stretched the pipeline to
+    # stretch * depth while a fetch was in transit; that made the
+    # host dispatch schedule — and therefore the map — depend on
+    # network timing (bimodal bench ATE across identical runs). The
+    # drain is now always deterministic: pop (blocking) at exactly
+    # ``pipeline_depth`` in-flight frames.
     pipeline_stretch: int = 4
     # Pose-only Gauss-Newton: inner linearizations per round (rounds:
     # 2 wide-window + 4 tight-window, with chi2 outlier

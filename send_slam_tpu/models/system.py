@@ -707,21 +707,22 @@ class System:
         self._pending.append(dict(ts=timestamp, st_prev=st_prev, future=fut))
         self.map, self._st = m2, st2
 
-        # Elastic drain: pop lagged entries whose background fetch has
-        # landed. The fetch threads absorb the device->host RTT (and
-        # the occasional seconds-long relay stall) while this loop
-        # keeps dispatching; only a pipeline backed up beyond
-        # stretch x pipeline_depth blocks on the oldest fetch.
+        # Deterministic drain (round 3): ALWAYS process the summary at
+        # lag ``pipeline_depth``, blocking on its background fetch if
+        # it has not landed yet — the fetch has had ``depth`` frames of
+        # dispatch time to overlap the RTT, so the block is rare and
+        # short. Round 2's elastic drain (process-when-landed, stretch
+        # under pressure) absorbed relay hiccups but made every
+        # host-driven dispatch (maintenance, polish slices, loop
+        # probes) land at a fetch-RTT-dependent position in the device
+        # queue: numerically identical runs evolved DIFFERENT maps
+        # (bench ATE was bimodal across identical invocations). The
+        # schedule is part of the algorithm; it must not depend on the
+        # network.
         depth = self.cfg.tracking.pipeline_depth
-        stretch = self.cfg.tracking.pipeline_stretch
         while len(self._pending) > depth:
-            if self.state not in (TRACKING_OK, TRACKING_RECENTLY_LOST) \
-                    or not self._pending:
+            if self.state not in (TRACKING_OK, TRACKING_RECENTLY_LOST):
                 break
-            head = self._pending[0]
-            if not head["future"].done() \
-                    and len(self._pending) <= stretch * depth:
-                break  # not ready; stretch the pipeline instead
             self._ready.append(self._process_lagged())
         if self._ready:
             return self._ready.pop(0)
@@ -837,26 +838,23 @@ class System:
         self.init_attempts, self.init_commit_ts = n_init, ts_init
 
     def _maybe_close_loop(self) -> None:
-        """Two-phase, never blocking the frame loop:
-        phase 1 — candidate score fetched in the background; if it
-        clears the bar, dispatch the Sim3 verification and background-
-        fetch ITS verdict; phase 2 — on a verified loop, dispatch the
-        pose-graph correction, then enqueue global-BA polish slices
-        (pure device work, no sync). The frame loop only ever inspects
-        completed futures."""
+        """Two-phase, one phase per drained frame:
+        phase 1 — read the candidate score (its background fetch was
+        submitted a full frame earlier, so the read almost never
+        waits); if it clears the bar, dispatch the Sim3 verification
+        and background-fetch ITS verdict; phase 2 — on a verified
+        loop, dispatch the pose-graph correction, then enqueue
+        global-BA polish slices (pure device work). Phase reads BLOCK
+        on their future rather than polling ``done()``: the probe
+        cadence — and every dispatch downstream of it — must be
+        run-deterministic, not fetch-RTT-dependent (round-2 variance
+        source)."""
         if self._pending_loop is None:
             return
         tr = self.cfg.tracking
-        # pipeline_stretch == 1 is the fully-synchronous mode (CPU
-        # tests): probe phases resolve immediately instead of when
-        # their background fetch happens to land, so run-to-run
-        # behavior does not depend on machine load.
-        sync = tr.pipeline_stretch <= 1
 
         if len(self._pending_loop) == 4:       # phase 1: score
             kf_slot, cands_prev, score_fut, cand_fut = self._pending_loop
-            if not (sync or (score_fut.done() and cand_fut.done())):
-                return      # fetch still in flight; re-check next frame
             score = float(score_fut.result())
             cand_val = int(cand_fut.result())
             if score <= tr.loop_score_min:
@@ -894,11 +892,9 @@ class System:
                 kf_slot, cand_sel, cand_fut, score, loop, ok_fut)
             return
 
-        # phase 2: Sim3 verdict
+        # phase 2: Sim3 verdict (blocking read, same rationale)
         kf_slot, cand_prev, cand_fut, score, loop, ok_fut = \
             self._pending_loop
-        if not (sync or ok_fut.done()):
-            return
         self._pending_loop = None
         verified = bool(ok_fut.result())
         applied = None
@@ -924,12 +920,11 @@ class System:
         if self._pending_weld is None:
             return
         tr = self.cfg.tracking
-        sync = tr.pipeline_stretch <= 1
 
         if len(self._pending_weld) == 2:       # phase 1: scores
             kf_slot, cands = self._pending_weld
-            if not (sync or all(fut.done() for _, fut in cands)):
-                return      # fetches in flight; re-check next frame
+            # Blocking reads — deterministic weld cadence (see
+            # _maybe_close_loop).
             self._pending_weld = None
             scores = [float(fut.result()) for _, fut in cands]
             best_i = int(np.argmax(scores))
@@ -943,10 +938,8 @@ class System:
             self._pending_weld = (best_i, res, ok_fut)
             return
 
-        # phase 2: cross-map Sim3 verdict
+        # phase 2: cross-map Sim3 verdict (blocking read)
         best_i, res, ok_fut = self._pending_weld
-        if not (sync or ok_fut.done()):
-            return
         self._pending_weld = None
         if not bool(ok_fut.result()) or best_i >= len(self.atlas):
             return
