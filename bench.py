@@ -58,12 +58,27 @@ def main() -> None:
                            fx=520.0, fy=520.0)
     depth = int(os.environ.get("SLAM_BENCH_PIPELINE_DEPTH", "6"))
     stretch = int(os.environ.get("SLAM_BENCH_PIPELINE_STRETCH", "2"))
+    # Diagnostic overrides: SLAM_TR_<tracking_field>=value.
+    import dataclasses
+    tr_kwargs = dict(init_min_matches=50, pipeline_depth=depth,
+                     pipeline_stretch=stretch)
+    ftypes = {f.name: type(getattr(TrackingConfig(), f.name))
+              for f in dataclasses.fields(TrackingConfig)}
+    for k, v in os.environ.items():
+        if k.startswith("SLAM_TR_"):
+            name = k[len("SLAM_TR_"):].lower()
+            cast = ftypes[name]
+            if cast is bool:
+                tr_kwargs[name] = v.lower() in ("1", "true", "yes")
+            else:
+                tr_kwargs[name] = cast(v)
+            print(f"# override tracking.{name} = {tr_kwargs[name]}",
+                  file=sys.stderr)
     cfg = EngineConfig(
         camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
                             cx=320.0, cy=240.0),
         map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
-        tracking=TrackingConfig(init_min_matches=50, pipeline_depth=depth,
-                                pipeline_stretch=stretch),
+        tracking=TrackingConfig(**tr_kwargs),
     )
     ts, Rs, tls = world.trajectory(n_frames=n_frames)
     # uint8 frames: what a real camera delivers, and 4x less
@@ -78,6 +93,7 @@ def main() -> None:
     t_track = []
     est_ts, est_pos = [], []
     states = []
+    inl_series = []
     n_ok = 0
     t_first_ok = None
     t_seq0 = time.perf_counter()
@@ -86,6 +102,7 @@ def main() -> None:
         out = sys_.track_monocular(frames[k], float(ts[k]))
         dt = time.perf_counter() - t0
         states.append(out.tracking_state)
+        inl_series.append(out.n_inliers)
         if k >= warmup:
             t_track.append(dt)
         if out.tracking_state == 2:
@@ -97,6 +114,11 @@ def main() -> None:
 
     print("# state timeline:       "
           + "".join(str(s) for s in states), file=sys.stderr)
+    if os.environ.get("SLAM_BENCH_VERBOSE") == "1":
+        # Per-frame inlier counts (lagged summaries) — the decay
+        # leading into a tracking loss is the diagnostic.
+        print("# inliers: " + " ".join(str(i) for i in inl_series),
+              file=sys.stderr)
     med = float(np.median(t_track)) if t_track else float("inf")
     mean = float(np.mean(t_track)) if t_track else float("inf")
     fps = 1.0 / mean if mean > 0 else 0.0
@@ -104,6 +126,14 @@ def main() -> None:
     gt_pos = [-R.T @ t for R, t in zip(Rs, tls)]
     ate = (ate_rmse(est_ts, np.asarray(est_pos), ts, np.asarray(gt_pos))
            if len(est_pos) >= 3 else float("inf"))
+    # TUM-benchmark convention (reference: orbslam3_mono_networked.cc
+    # saves the KEYFRAME trajectory at shutdown): ATE of the
+    # BA-corrected keyframe poses. The streamed per-frame ATE above
+    # keeps every pose's historical drift.
+    sys_._flush_pipeline()
+    kts, kpos, _ = sys_.keyframe_poses()
+    ate_kf = (ate_rmse(kts, kpos, ts, np.asarray(gt_pos))
+              if len(kts) >= 3 else float("inf"))
 
     # Shutdown stats like the reference backend (…cc:656-664).
     print(f"# warmup compile time:  {t_compile:.1f} s", file=sys.stderr)
@@ -121,6 +151,7 @@ def main() -> None:
     print(f"# mean tracking time:   {mean*1e3:.2f} ms", file=sys.stderr)
     print(f"# tracked frames:       {n_ok}/{n_frames}", file=sys.stderr)
     print(f"# ATE RMSE (synthetic): {ate:.4f} m", file=sys.stderr)
+    print(f"# ATE RMSE (kf traj):   {ate_kf:.4f} m", file=sys.stderr)
     print(f"# backend: {jax.default_backend()} {jax.devices()[0].device_kind}",
           file=sys.stderr)
 

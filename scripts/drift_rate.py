@@ -62,7 +62,11 @@ def main():
     for k, v in os.environ.items():
         if k.startswith("SLAM_TR_"):
             name = k[len("SLAM_TR_"):].lower()
-            tr_kwargs[name] = ftypes[name](v)
+            cast = ftypes[name]
+            if cast is bool:
+                tr_kwargs[name] = v.lower() in ("1", "true", "yes")
+            else:
+                tr_kwargs[name] = cast(v)
             print(f"# override tracking.{name} = {tr_kwargs[name]}")
     cfg = EngineConfig(
         orb=OrbConfig(n_features=512, n_levels=4),

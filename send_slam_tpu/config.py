@@ -154,6 +154,21 @@ class TrackingConfig:
     # (one dispatched per frame) instead of one >100 ms dispatch.
     wide_ba_every_kf: int = 8       # enqueue wide slices every Nth KF
     wide_ba_slices: int = 5
+    # A wide/global polish slice whose newest-KF correction exceeds
+    # EITHER bound rebases the speculative pose chain (translation is
+    # measured relative to the last inter-keyframe baseline, so the
+    # test is scale-free). Below both bounds the next frame's pose GN
+    # absorbs the delta; above them the chain would predict outside
+    # the matcher window and tracking collapses in one frame.
+    polish_rebase_min_deg: float = 0.25
+    polish_rebase_baseline_frac: float = 0.3
+    # Wide-BA window selection: hybrid (recent half + most-covisible
+    # old half, covisibility.wide_window_ids) vs pure recency. Hybrid
+    # couples revisited old structure (out-and-back drift polish);
+    # on forward-marching scenes the old "anchors" may share only a
+    # handful of drifted landmarks with the recent chain — a weakly
+    # constrained coupling that can warp keyframe poses.
+    wide_ba_covis_window: bool = True
     global_ba_slices: int = 8       # after a loop closure / map weld
     # Two-view initializer
     init_ransac_iters: int = 512

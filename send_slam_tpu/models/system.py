@@ -388,14 +388,34 @@ class System:
             return dR, dt
 
         def _polish_slice(m: MapState, lam, prune, wcfg, window_ids=None):
-            """One wide/global BA iteration + the newest-KF delta
-            (informational; small polish deltas are absorbed by the
-            next frame's pose GN, not rebased)."""
+            """One wide/global BA iteration + the newest-KF delta and a
+            device-side LARGE-DELTA flag. Small polish deltas are
+            gauge-settling noise the next frame's pose GN absorbs;
+            rebasing the chain by them destabilizes tracking (CLAUDE.md
+            round-3 A/B). But an old-anchored wide/global window
+            settling accumulated drift can move the newest keyframe
+            further than the matcher's search window in ONE slice — the
+            speculative chain then predicts into empty space and
+            tracking falls off a cliff (round-3 TPU bench: 116 -> 16
+            inliers frame-to-frame). Large discrete corrections rebase,
+            like loop closures do; the threshold is measured against
+            the last inter-keyframe baseline (scale-free)."""
             m2 = local_bundle_adjustment(
                 m, self._K, wcfg, iters=1, damping=lam, prune=prune,
                 window_ids=window_ids)
             dR, dt = _newest_kf_delta(m, m2)
-            return m2, dR, dt
+            cur = jnp.clip(m.n_kf - 1, 0, MK - 1)
+            prev = jnp.clip(m.n_kf - 2, 0, MK - 1)
+            Cb = -(m.kf_R[cur].T @ m.kf_t[cur][:, None])[:, 0]
+            Ca = -(m2.kf_R[cur].T @ m2.kf_t[cur][:, None])[:, 0]
+            Cp = -(m.kf_R[prev].T @ m.kf_t[prev][:, None])[:, 0]
+            base = jnp.maximum(jnp.linalg.norm(Cb - Cp), 1e-6)
+            ang = jnp.arccos(jnp.clip((jnp.trace(dR) - 1.0) / 2.0,
+                                      -1.0, 1.0))
+            big = (ang > np.deg2rad(tr.polish_rebase_min_deg)) \
+                | (jnp.linalg.norm(Ca - Cb)
+                   > tr.polish_rebase_baseline_frac * base)
+            return m2, dR, dt, big
 
         from send_slam_tpu.models.covisibility import wide_window_ids
         wide_W = min(MK, 64)
@@ -403,10 +423,11 @@ class System:
         glob_cfg = dataclasses.replace(config.map, ba_window=MK)
 
         def _wide(m, lam, prune):
-            # Hybrid recency+covisibility window (covisibility.py
-            # wide_window_ids): drift polish must couple the revisited
-            # OLD structure, not just the recent chain.
-            ids, _ = wide_window_ids(m, wide_W)
+            # Window choice per config (see wide_ba_covis_window).
+            if tr.wide_ba_covis_window:
+                ids, _ = wide_window_ids(m, wide_W)
+            else:
+                ids = None
             return _polish_slice(m, lam, prune, wide_cfg, window_ids=ids)
 
         self._wide_slice = jax.jit(_wide)
@@ -418,6 +439,12 @@ class System:
                 R=dR @ st.R, t=dR @ st.t + dt,
                 R2=dR @ st.R2, t2=dR @ st.t2 + dt)
         self._rebase_st = jax.jit(_rebase_st)
+
+        def _rebase_st_cond(st: LoopState, dR, dt, big):
+            st2 = _rebase_st(st, dR, dt)
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(big, a, b), st2, st)
+        self._rebase_st_cond = jax.jit(_rebase_st_cond)
 
         from send_slam_tpu.models.loop_closing import (
             apply_loop_correction, compute_loop_sim3_multi, loop_candidates,
@@ -514,9 +541,9 @@ class System:
         m3 = self._maintain_step(m2)
         lam = jnp.asarray(1e-3, jnp.float32)
         pr = jnp.asarray(False)
-        m3, dR, dt = self._wide_slice(m3, lam, pr)
-        m3g, _dR, _dt = self._global_slice(m3, lam, pr)
-        _st3 = self._rebase_st(st2, dR, dt)
+        m3, dR, dt, big = self._wide_slice(m3, lam, pr)
+        m3g, _dR, _dt, _big = self._global_slice(m3, lam, pr)
+        _st3 = self._rebase_st_cond(st2, dR, dt, big)
         _mf, _nc = self._forced_cull_step(m3)
         _mc, _nv = self._compact_step(m3)
         _ids = self._covis_window(m3)
@@ -693,10 +720,20 @@ class System:
         if self._polish_queue:
             kind, lam, prune = self._polish_queue.pop(0)
             step = self._wide_slice if kind == "wide" else self._global_slice
-            self.map, _dR, _dt = step(
+            self.map, dR, dt, big = step(
                 self.map, jnp.asarray(lam, jnp.float32), jnp.asarray(prune))
-            # No chain rebase: polish deltas are small enough for the
-            # next frame's pose GN to absorb (see frame_step note).
+            # Rebase the speculative chain ONLY on a large WIDE-polish
+            # correction (device-side flag — see _polish_slice): small
+            # gauge-settling deltas are absorbed by the next pose GN,
+            # large drift corrections would otherwise strand the chain
+            # outside the matcher window. Global slices are excluded:
+            # they run right after a loop closure / weld whose apply
+            # already rebased the chain explicitly — their large
+            # settling deltas double-correct and worsen the revisit
+            # (round-3 A/B: revisit ATE 0.013 -> 0.068 with the guard
+            # on global slices).
+            if kind == "wide":
+                self._st = self._rebase_st_cond(self._st, dR, dt, big)
 
         arr = jnp.asarray(gray)
         st_prev = self._st

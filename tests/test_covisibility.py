@@ -218,11 +218,10 @@ class TestLongSession:
         # Sustained tracking across the whole 5x-capacity run…
         assert sum(s == TRACKING_OK for s in states) > 100, \
             sum(s == TRACKING_OK for s in states)
-        # …and alive at the end: the capacity-churned map keeps
-        # re-acquiring. Marginal-frame flicker between OK (2) and
-        # RECENTLY_LOST (3) in the final frames is init-lottery
-        # dependent (see test_loop_e2e bar note), so the end-of-run
-        # bar is liveness, not a perfect tail.
+        # …and healthy at the end: round 2's bar was liveness-only
+        # (3 of the last 10 OK) because the tail flickered with the
+        # init lottery; the round-3 deterministic schedule + scored
+        # init hold a solid tail.
         tail = states[-10:]
-        assert tail.count(TRACKING_OK) >= 3, tail
+        assert tail.count(TRACKING_OK) >= 7, tail
         assert states[-1] in (2, 3), states[-5:]

@@ -64,15 +64,13 @@ def test_loop_closes_on_revisit():
     kts, kpos, _ = sys_.keyframe_poses()
     err = ate_rmse(kts, kpos, ts, np.asarray(gt_pos))
     # The loop machinery (retrieval -> Sim3 -> essential-graph PGO ->
-    # whole-map BA) measurably corrects: raw odometry drifts ~0.7 here
-    # without it, and on favorable initializations the corrected ATE
-    # reaches 0.08. The OUTCOME, however, is chaotically sensitive to
-    # the two-view init lottery (numerically equivalent solver variants
-    # land anywhere in 0.08-0.38 deterministically per build): the bar
-    # bounds the worst observed operating point. Round-3 work: reduce
-    # outcome variance (init robustness / drift rate), then tighten to
-    # < 0.25 (VERDICT round-1 item 5's target).
-    assert err < 0.45, err
+    # whole-map BA) corrects raw odometric drift (~0.7 without it) to
+    # ~0.01. Round 2's bar was 0.45 against a chaotic 0.08-0.38
+    # spread; round 3 removed the chaos (deterministic host schedule,
+    # scored init, conditional polish rebase, multi-candidate Sim3) —
+    # measured 0.007-0.013 across seeds, 7-9 loop closures per run.
+    # The bar is ~4x the worst measured seed.
+    assert err < 0.06, err
 
 
 @pytest.mark.slow
@@ -129,9 +127,11 @@ def test_long_loop_with_branch():
     # re-observe mostly the same distant structure, so many get culled
     # as redundant and the survivors carry few observations) — the
     # loop corrections land (several verify) but cannot fully rectify
-    # the leg. Currently ~0.48; round-3 target is < 0.3 via smarter
-    # keyframe policy on low-innovation legs.
-    assert err < 0.55, err
+    # the leg. Round 2 measured ~0.48 (bar 0.55); the round-3 stack
+    # (deterministic schedule + drift-rate fixes + multi-candidate
+    # verification) measures 0.004 across seeds with 6 loop closures
+    # per run. Bar at ~15x the measured value.
+    assert err < 0.06, err
 
 
 @pytest.mark.slow
