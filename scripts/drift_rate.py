@@ -65,6 +65,8 @@ def main():
             cast = ftypes[name]
             if cast is bool:
                 tr_kwargs[name] = v.lower() in ("1", "true", "yes")
+            elif cast is tuple:
+                tr_kwargs[name] = tuple(int(x) for x in v.split(","))
             else:
                 tr_kwargs[name] = cast(v)
             print(f"# override tracking.{name} = {tr_kwargs[name]}")

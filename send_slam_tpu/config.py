@@ -133,6 +133,11 @@ class TrackingConfig:
     kf_min_interval: int = 3        # frames
     kf_tracked_ratio: float = 0.9   # new KF if tracked < ratio * ref
     kf_max_interval: int = 10       # force a KF after this many frames
+    # Which earlier keyframes (slots back from the new one) new-point
+    # triangulation pairs against. On forward-marching scenes the most
+    # recent keyframes have the smallest baselines; spreading the refs
+    # widens parallax at the same cost.
+    triangulate_backs: Tuple[int, ...] = (1, 2, 3)
     # Amortized bundle adjustment (the TPU-native analog of the
     # LocalMapping thread overlapping Tracking): instead of a
     # multi-iteration local-BA burst at keyframe rate stalling the

@@ -213,13 +213,17 @@ def insert_keyframe_with_triangulation(
     chain_break=False,
     scale_factor: float = 1.2,
     n_levels: int = 8,
+    triangulate_backs=None,
 ):
     """The full keyframe-insertion step (jittable): cull unreliable
     landmarks, invert the tracked lm->kp matches into the keypoint
     observation row, append the keyframe, and triangulate new landmarks
-    against the ``n_triangulate_refs`` most recent keyframes (wider
-    baselines than the adjacent KF alone — LocalMapping's covisible-KF
-    sweep). Returns (map, kf_id, n_new_landmarks)."""
+    against reference keyframes ``triangulate_backs`` slots back
+    (default the ``n_triangulate_refs`` most recent — LocalMapping's
+    covisible-KF sweep; on forward-marching scenes the most recent
+    refs have the SMALLEST baselines, so a spread like (1, 2, 4)
+    widens triangulation parallax). Returns (map, kf_id,
+    n_new_landmarks)."""
     N = frame.feat.capacity
     ML = m.max_landmarks
     m, _ = cull_landmarks(m)
@@ -235,7 +239,9 @@ def insert_keyframe_with_triangulation(
     # ComputeDistinctiveDescriptors at keyframe rate).
     m = refresh_landmarks(m, kf_id)
     n_new = jnp.asarray(0, jnp.int32)
-    for back in range(1, n_triangulate_refs + 1):
+    backs = (tuple(range(1, n_triangulate_refs + 1))
+             if triangulate_backs is None else tuple(triangulate_backs))
+    for back in backs:
         kf_ref = jnp.maximum(kf_id - back, 0)
         m, n = create_new_landmarks(m, kf_id, kf_ref, K, cfg,
                                     scale_factor=scale_factor,

@@ -201,7 +201,8 @@ class System:
                     m, res.R, res.t, frame, res.matches.idx,
                     res.matches.valid & res.inlier, self._K, tr,
                     chain_break=chain_break,
-                    scale_factor=orb.scale_factor, n_levels=orb.n_levels)
+                    scale_factor=orb.scale_factor, n_levels=orb.n_levels,
+                    triangulate_backs=tr.triangulate_backs)
                 ids, _ = covis_window_ids(m2, W)
                 return m2, ids
 

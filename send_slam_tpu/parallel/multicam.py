@@ -223,7 +223,8 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
         m_kf, _kfid, _nnew = insert_keyframe_with_triangulation(
             m_trk, res.R, res.t, frame, res.matches.idx,
             res.matches.valid & res.inlier, K, tr,
-            scale_factor=orb.scale_factor, n_levels=orb.n_levels)
+            scale_factor=orb.scale_factor, n_levels=orb.n_levels,
+            triangulate_backs=tr.triangulate_backs)
         m_kf = local_bundle_adjustment(m_kf, K, cfg.map)
         # LocalMapping tail, in-lane (VERDICT r2 missing #5): zero-obs
         # pruning + organic redundant-KF culling at keyframe rate.
