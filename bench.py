@@ -64,19 +64,30 @@ def main() -> None:
                      pipeline_stretch=stretch)
     ftypes = {f.name: type(getattr(TrackingConfig(), f.name))
               for f in dataclasses.fields(TrackingConfig)}
+    otypes = {f.name: type(getattr(OrbConfig(), f.name))
+              for f in dataclasses.fields(OrbConfig)}
+    orb_kwargs = {}
+
+    def _cast(cast, v):
+        if cast is bool:
+            return v.lower() in ("1", "true", "yes")
+        if cast is tuple:
+            return tuple(int(x) for x in v.split(","))
+        return cast(v)
+
     for k, v in os.environ.items():
         if k.startswith("SLAM_TR_"):
             name = k[len("SLAM_TR_"):].lower()
-            cast = ftypes[name]
-            if cast is bool:
-                tr_kwargs[name] = v.lower() in ("1", "true", "yes")
-            elif cast is tuple:
-                tr_kwargs[name] = tuple(int(x) for x in v.split(","))
-            else:
-                tr_kwargs[name] = cast(v)
+            tr_kwargs[name] = _cast(ftypes[name], v)
             print(f"# override tracking.{name} = {tr_kwargs[name]}",
                   file=sys.stderr)
+        elif k.startswith("SLAM_ORB_"):
+            name = k[len("SLAM_ORB_"):].lower()
+            orb_kwargs[name] = _cast(otypes[name], v)
+            print(f"# override orb.{name} = {orb_kwargs[name]}",
+                  file=sys.stderr)
     cfg = EngineConfig(
+        orb=OrbConfig(**orb_kwargs),
         camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
                             cx=320.0, cy=240.0),
         map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),

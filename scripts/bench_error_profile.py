@@ -1,0 +1,106 @@
+"""Per-frame error profile of the EXACT bench scenario (CPU).
+
+Reproduces bench.py's world/config/uint8 frames, then prints the
+Sim3-aligned per-frame error series and per-KF error series — is the
+bench ATE a settling transient, linear drift, or correction jumps?
+
+Usage: python scripts/bench_error_profile.py   (CPU, ~10 min)
+Env:   SLAM_BENCH_FRAMES, SLAM_ORB_*/SLAM_TR_* overrides like bench.py.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+import conftest  # noqa: F401  (forces the CPU backend like the suite)
+
+import dataclasses
+
+import numpy as np
+
+from send_slam_tpu.config import (
+    CameraConfig, EngineConfig, MapConfig, OrbConfig, TrackingConfig,
+)
+from send_slam_tpu.io.evaluate import umeyama_alignment
+from send_slam_tpu.models.system import System
+from send_slam_tpu.utils.synth import SyntheticWorld
+
+
+def main():
+    n_frames = int(os.environ.get("SLAM_BENCH_FRAMES", "90"))
+    world = SyntheticWorld(n_points=900, width=640, height=480,
+                           fx=520.0, fy=520.0)
+    tr_kwargs = dict(init_min_matches=50, pipeline_depth=6,
+                     pipeline_stretch=2)
+    orb_kwargs = {}
+    ftypes = {f.name: type(getattr(TrackingConfig(), f.name))
+              for f in dataclasses.fields(TrackingConfig)}
+    otypes = {f.name: type(getattr(OrbConfig(), f.name))
+              for f in dataclasses.fields(OrbConfig)}
+
+    def _cast(cast, v):
+        if cast is bool:
+            return v.lower() in ("1", "true", "yes")
+        if cast is tuple:
+            return tuple(int(x) for x in v.split(","))
+        return cast(v)
+
+    for k, v in os.environ.items():
+        if k.startswith("SLAM_TR_"):
+            name = k[len("SLAM_TR_"):].lower()
+            tr_kwargs[name] = _cast(ftypes[name], v)
+            print(f"# override tracking.{name} = {tr_kwargs[name]}")
+        elif k.startswith("SLAM_ORB_"):
+            name = k[len("SLAM_ORB_"):].lower()
+            orb_kwargs[name] = _cast(otypes[name], v)
+            print(f"# override orb.{name} = {orb_kwargs[name]}")
+    cfg = EngineConfig(
+        orb=OrbConfig(**orb_kwargs),
+        camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
+                            cx=320.0, cy=240.0),
+        map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
+        tracking=TrackingConfig(**tr_kwargs),
+    )
+    ts, Rs, tls = world.trajectory(n_frames=n_frames)
+    frames = [np.round(world.render(Rs[k], tls[k])).astype(np.uint8)
+              for k in range(n_frames)]
+    gt_pos = np.asarray([-R.T @ t for R, t in zip(Rs, tls)])
+
+    sys_ = System(cfg)
+    est = {}
+    states = []
+    for k in range(n_frames):
+        out = sys_.track_monocular(frames[k], float(ts[k]))
+        states.append(out.tracking_state)
+        if out.tracking_state == 2 and out.position is not None:
+            est[round(out.timestamp * 30)] = np.asarray(out.position)
+    sys_._flush_pipeline()
+
+    print("# states: " + "".join(str(s) for s in states))
+    commit_ts = sys_.init_commit_ts
+    print(f"# init attempts: {sys_.init_attempts}  committed at: "
+          f"{-1.0 if commit_ts is None else commit_ts:.3f} s")
+    ks = sorted(est.keys())
+    e = np.stack([est[k] for k in ks])
+    g = gt_pos[ks]
+    s_, R_, t_ = umeyama_alignment(e, g)
+    err = np.linalg.norm((s_ * (R_ @ e.T)).T + t_ - g, axis=1)
+    print("# per-frame aligned error (m):")
+    for k, v in zip(ks, err):
+        print(f"frame {k:3d}  err {v:.4f}")
+    print(f"# stream ATE: {float(np.sqrt(np.mean(err ** 2))):.4f}")
+
+    kts, kpos, _ = sys_.keyframe_poses()
+    gk = np.stack([gt_pos[np.argmin(np.abs(ts - t))] for t in kts])
+    s2, R2, t2 = umeyama_alignment(kpos, gk)
+    kerr = np.linalg.norm((s2 * (R2 @ kpos.T)).T + t2 - gk, axis=1)
+    print("# per-KF aligned error (m):")
+    for t, v in zip(kts, kerr):
+        print(f"kf t={t:.3f}  err {v:.4f}")
+    print(f"# kf ATE: {float(np.sqrt(np.mean(kerr ** 2))):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,8 @@ def out_and_back(n_frames=220, reach=1.8, fps=30.0, hold=16):
 
 def main():
     n_frames = int(os.environ.get("SLAM_DRIFT_FRAMES", "220"))
-    world = SyntheticWorld(n_points=700, seed=5)
+    seed = int(os.environ.get("SLAM_DRIFT_SEED", "5"))
+    world = SyntheticWorld(n_points=700, seed=seed)
     # A/B knob overrides: SLAM_TR_<tracking_field>=value (typed from
     # the dataclass field), e.g. SLAM_TR_WIDE_BA_EVERY_KF=4.
     import dataclasses
@@ -59,19 +60,28 @@ def main():
                      loop_score_min=1e9)
     ftypes = {f.name: type(getattr(TrackingConfig(), f.name))
               for f in dataclasses.fields(TrackingConfig)}
+    otypes = {f.name: type(getattr(OrbConfig(), f.name))
+              for f in dataclasses.fields(OrbConfig)}
+    orb_kwargs = dict(n_features=512, n_levels=4)
+
+    def _cast(cast, v):
+        if cast is bool:
+            return v.lower() in ("1", "true", "yes")
+        if cast is tuple:
+            return tuple(int(x) for x in v.split(","))
+        return cast(v)
+
     for k, v in os.environ.items():
         if k.startswith("SLAM_TR_"):
             name = k[len("SLAM_TR_"):].lower()
-            cast = ftypes[name]
-            if cast is bool:
-                tr_kwargs[name] = v.lower() in ("1", "true", "yes")
-            elif cast is tuple:
-                tr_kwargs[name] = tuple(int(x) for x in v.split(","))
-            else:
-                tr_kwargs[name] = cast(v)
+            tr_kwargs[name] = _cast(ftypes[name], v)
             print(f"# override tracking.{name} = {tr_kwargs[name]}")
+        elif k.startswith("SLAM_ORB_"):
+            name = k[len("SLAM_ORB_"):].lower()
+            orb_kwargs[name] = _cast(otypes[name], v)
+            print(f"# override orb.{name} = {orb_kwargs[name]}")
     cfg = EngineConfig(
-        orb=OrbConfig(n_features=512, n_levels=4),
+        orb=OrbConfig(**orb_kwargs),
         camera=CameraConfig(width=world.W, height=world.H,
                             fx=world.fx, fy=world.fy,
                             cx=world.cx, cy=world.cy),

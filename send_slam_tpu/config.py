@@ -36,6 +36,15 @@ class OrbConfig:
     patch_size: int = 31            # orientation / descriptor patch
     half_patch: int = 15
     edge_threshold: int = 19        # border margin like ORB-SLAM3
+    # Sub-pixel corner localization: 3-point parabola fit on the pre-NMS
+    # FAST score map. ORB-SLAM3 keeps integer corners; the ~0.3 px
+    # quantization noise is a dominant triangulation-depth error term on
+    # quantized (uint8) imagery (bench scenario on CPU: ATE 0.32 ->
+    # 0.027 with this on). Default OFF for now: on low-res float-render
+    # scenes the decision cascade it reshuffles can destabilize the
+    # weakly-constrained branch-loop scenario (CLAUDE.md round-3
+    # findings) — flip on for high-res quantized video.
+    subpixel: bool = False
 
     @property
     def per_level_features(self) -> Tuple[int, ...]:

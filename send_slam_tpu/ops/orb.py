@@ -36,6 +36,12 @@ from send_slam_tpu.ops.pyramid import build_pyramid, gaussian_blur
 
 @functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
+    import os
+    if os.environ.get("SLAM_FORCE_CPU_PATHS") == "1":
+        # Diagnostic: run the exact scatter/gather formulations on the
+        # TPU (slow — serial lowering) to isolate one-hot bf16 path
+        # numerics from other backend differences.
+        return False
     try:
         return "tpu" in jax.devices()[0].platform.lower() or \
             "tpu" in str(jax.devices()[0].device_kind).lower()
@@ -166,6 +172,45 @@ def _grid_topk(
     uv = jnp.stack([flat_x[top_i], flat_y[top_i]], -1)
     valid = top_vals > 0
     return uv, top_vals, valid
+
+
+def _subpixel_offsets(raw_score: jnp.ndarray,
+                      uv: jnp.ndarray) -> jnp.ndarray:
+    """(K, 2) float32 sub-pixel corner offsets in [-0.5, 0.5].
+
+    Separable 3-point parabola fit on the PRE-NMS FAST score map around
+    each integer corner (the NMS'd map has zeroed neighbours and cannot
+    be fit). Integer keypoint quantization is ~0.3 px of measurement
+    noise that triangulation amplifies by z^2/(f*b) into map depth error
+    — on low-texture or quantized (uint8) imagery this is a dominant
+    drift term (bench-scenario ATE 0.32 -> 0.03 on CPU). ORB-SLAM3
+    keeps integer FAST corners; this is a deliberate accuracy
+    improvement, not a parity feature.
+
+    Numerics: the fit runs as DENSE elementwise maps in exact f32
+    (shifted slices), and only the bounded [-0.5, 0.5] offset VALUES go
+    through the bf16 one-hot gather (<= 2^-9 absolute error, ~0.002
+    px). Gathering raw 3x3 score neighbourhoods instead and fitting
+    after would round the scores themselves to bf16 on TPU (~1 unit at
+    score ~128) — neighbour differences are a few units, so the fit
+    would come back garbage there while staying exact on CPU."""
+    p = jnp.pad(raw_score, 1)
+    s0 = raw_score
+    sxm, sxp = p[1:-1, :-2], p[1:-1, 2:]
+    sym, syp = p[:-2, 1:-1], p[2:, 1:-1]
+
+    def axis_offset(sm, s0_, sp):
+        denom = sm - 2.0 * s0_ + sp                   # <= 0 at a peak
+        off = jnp.where(jnp.abs(denom) > 1e-6,
+                        0.5 * (sm - sp) / denom, 0.0)
+        # Fit trusts only a genuine local max: clamp into the NMS cell.
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx_map = axis_offset(sxm, s0, sxp)
+    dy_map = axis_offset(sym, s0, syp)
+    dx = _gather_patches(dx_map, uv, 0)[:, 0, 0]
+    dy = _gather_patches(dy_map, uv, 0)[:, 0, 0]
+    return jnp.stack([dx, dy], -1)
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +400,8 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
         # One FAST pass: the score equals the largest threshold at
         # which the arc-9 test still passes, so the iniThFAST map is a
         # re-threshold of the minThFAST map (corner(t) <=> score > t).
-        s_lo = nms3x3(_fast_score(level_img, float(cfg.min_th_fast)))
+        raw = _fast_score(level_img, float(cfg.min_th_fast))
+        s_lo = nms3x3(raw)
         s_hi = jnp.where(s_lo > float(cfg.ini_th_fast), s_lo, 0.0)
 
         # Border mask: the ORB edge_threshold margin guarantees the
@@ -378,7 +424,10 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
         desc = brief_from_patches(patches, angle)
 
         scale = cfg.scale_factor ** lvl
-        uv0 = uv_l.astype(jnp.float32) * scale
+        uvf = uv_l.astype(jnp.float32)
+        if cfg.subpixel:
+            uvf = uvf + _subpixel_offsets(raw, uv_l)
+        uv0 = uvf * scale
         parts.append(FrameFeatures(
             uv=uv0,
             response=resp,

@@ -39,6 +39,9 @@ import jax.numpy as jnp
 
 @functools.lru_cache(maxsize=1)
 def _on_tpu() -> bool:
+    import os
+    if os.environ.get("SLAM_FORCE_CPU_PATHS") == "1":
+        return False  # diagnostic — see ops/orb.py _on_tpu
     try:
         return "tpu" in jax.devices()[0].platform.lower() or \
             "tpu" in str(jax.devices()[0].device_kind).lower()
