@@ -14,7 +14,8 @@ import sys
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
 
-import conftest  # noqa: F401  (forces the CPU backend like the suite)
+if os.environ.get("SLAM_PROFILE_TPU") != "1":
+    import conftest  # noqa: F401  (forces the CPU backend like the suite)
 
 import dataclasses
 
