@@ -101,7 +101,22 @@ def main() -> None:
 
     sys_ = System(cfg)
     t0_compile = time.perf_counter()
-    sys_.warmup(image_dtype=np.uint8)
+    # The axon remote-compile tunnel can drop mid-handshake
+    # (UNAVAILABLE: .../remote_compile: Connection refused) — retry
+    # with backoff rather than dying before a single frame; if it
+    # stays down, proceed unwarmed (compiles land lazily mid-run:
+    # slow, but a measured run beats no artifact).
+    for attempt in range(4):
+        try:
+            sys_.warmup(image_dtype=np.uint8)
+            break
+        except Exception as e:  # noqa: BLE001 — backend transport
+            print(f"# warmup attempt {attempt + 1} failed: {e}",
+                  file=sys.stderr)
+            if attempt == 3:
+                print("# proceeding without warmup", file=sys.stderr)
+            else:
+                time.sleep(90)
     t_compile = time.perf_counter() - t0_compile
     t_track = []
     est_ts, est_pos = [], []
