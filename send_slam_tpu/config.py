@@ -40,11 +40,13 @@ class OrbConfig:
     # FAST score map. ORB-SLAM3 keeps integer corners; the ~0.3 px
     # quantization noise is a dominant triangulation-depth error term on
     # quantized (uint8) imagery (bench scenario on CPU: ATE 0.32 ->
-    # 0.027 with this on). Default OFF for now: on low-res float-render
-    # scenes the decision cascade it reshuffles can destabilize the
-    # weakly-constrained branch-loop scenario (CLAUDE.md round-3
-    # findings) — flip on for high-res quantized video.
-    subpixel: bool = False
+    # 0.027 with this on) AND the noise floor that makes keyframe-
+    # placement basins fragile (the 40-frame VO scenario swings 4x on a
+    # one-frame KF shift without it, and is flat with it). Default ON
+    # since round 4: the branch-loop regression that blocked the flip
+    # was the loop-closure spree, fixed by the cooldown/degenerate-
+    # score/sanity guards (see TrackingConfig loop_* fields).
+    subpixel: bool = True
 
     @property
     def per_level_features(self) -> Tuple[int, ...]:
@@ -141,6 +143,17 @@ class TrackingConfig:
     # Keyframe policy
     kf_min_interval: int = 3        # frames
     kf_tracked_ratio: float = 0.9   # new KF if tracked < ratio * ref
+    # Weak-trigger hysteresis: the under-ratio condition must hold for
+    # this many CONSECUTIVE frames before it places a keyframe (1 =
+    # ORB-SLAM3-like immediate trigger). A single noisy inlier dip
+    # placing a KF re-anchors the ratio reference low and cascades the
+    # whole KF schedule — the round-3 TPU/CPU basin-divergence
+    # mechanism. kf_max_interval staleness is unaffected. Default 2:
+    # measured on the confuser scenario (scripts/confuser_probe.py),
+    # the undamped trigger left the build one ULP-perturbation away
+    # from losing its loop closure; with 2 the closure lands on the
+    # right region (ATE 0.016) and the spree guards engage cleanly.
+    kf_weak_frames: int = 2
     kf_max_interval: int = 10       # force a KF after this many frames
     # Which earlier keyframes (slots back from the new one) new-point
     # triangulation pairs against. On forward-marching scenes the most
@@ -202,6 +215,14 @@ class TrackingConfig:
     # counts (see initializer.py acceptance note).
     init_min_good_frac: float = 0.08
     init_min_parallax_deg: float = 0.8
+    # Triangulation baseline floor (LocalMapping's new-landmark gate):
+    # maximum cosine of the ray parallax between the two triangulating
+    # views (0.99995 ~= 0.573 deg minimum parallax). Expressed as the
+    # cosine, not degrees: the gate sits in a chaotic cascade, and even
+    # a 1e-8 threshold shift from a degrees->cos conversion measurably
+    # flips scenario outcomes. Lower the value (larger minimum angle)
+    # to trade landmark count for depth conditioning.
+    tri_min_parallax_cos: float = 0.99995
     # Loop closing
     loop_min_gap_kf: int = 20       # candidate must be this many KFs old
     loop_score_min: float = 0.35    # retrieval cosine threshold
@@ -218,6 +239,30 @@ class TrackingConfig:
     # coordinates fight the very correction the loop supplies — see
     # covisibility.covis_edges and the round-3 A/B note in CLAUDE.md.
     loop_covis_max_gap: int = 0
+    # Closure-spree guards (round-3 branch-scenario diagnosis: 12
+    # closures fired vs 6 in the passing config, the late ones with
+    # degenerate ~1.0 retrieval scores, and the accumulated PGO passes
+    # warped the whole map):
+    # (a) cooldown — after an APPLIED closure the map is mid-polish
+    #     (global-BA slices still queued); re-probing it immediately
+    #     retrieves against half-corrected signatures/poses. Require
+    #     this many NEW keyframes before the next probe may fire.
+    loop_cooldown_kf: int = 8
+    # (b) saturated retrieval scores are degenerate: a genuine revisit
+    #     views the same structure from a DIFFERENT vantage, so its
+    #     signature cosine is high but not ~1.0; near-perfect scores
+    #     come from near-duplicate keyframes (self-matches past the
+    #     temporal gap after a bad correction folded the map onto
+    #     itself) and must not arm the consistency counter.
+    loop_score_max: float = 0.995
+    # (c) post-correction sanity: reject (do not commit) a verified
+    #     closure whose corrected map reprojects WORSE than
+    #     max(loop_sanity_px, loop_sanity_factor * pre-correction
+    #     median). A consistent closure leaves the median observation
+    #     residual near where drift left it; a map-warping one (wrong
+    #     candidate, contradictory PGO edges) explodes it.
+    loop_sanity_px: float = 8.0
+    loop_sanity_factor: float = 3.0
     # Relocalization acceptance: stricter than min_track_matches —
     # a marginal wide-window "success" from unmapped territory resets
     # the atlas patience counter forever and blocks the map freeze

@@ -55,12 +55,20 @@ def create_new_landmarks(
     cfg: TrackingConfig,
     epi_th_px: float = 2.0,
     reproj_th2: float = 5.991,
-    min_parallax_cos: float = 0.99995,
+    min_parallax_cos: float = None,
     scale_factor: float = 1.2,
     n_levels: int = 8,
 ) -> Tuple[MapState, jnp.ndarray]:
     """Triangulate unassociated keypoint pairs between kf_new and kf_ref
-    and append them as landmarks. Returns (map, n_created)."""
+    and append them as landmarks. Returns (map, n_created).
+
+    ``min_parallax_cos`` defaults from cfg.tri_min_parallax_cos — the
+    triangulation baseline floor: rays closer to parallel than this
+    produce landmarks whose depth error grows as 1/parallax, and those
+    badly-conditioned points steer the next frames' pose GN (the
+    low-parallax divergence spiral, CLAUDE.md)."""
+    if min_parallax_cos is None:
+        min_parallax_cos = cfg.tri_min_parallax_cos
     Ra, ta = m.kf_R[kf_ref], m.kf_t[kf_ref]
     Rb, tb = m.kf_R[kf_new], m.kf_t[kf_new]
     uva, uvb = m.kf_uv[kf_ref], m.kf_uv[kf_new]

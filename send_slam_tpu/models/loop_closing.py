@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from send_slam_tpu.config import TrackingConfig
+from send_slam_tpu.geometry.camera import project
 from send_slam_tpu.models.map_state import MapState
 from send_slam_tpu.models.pose_graph import (
     PoseGraphEdges, build_sequential_edges, concat_edges,
@@ -124,6 +125,28 @@ def compute_loop_sim3_multi(
     bi = jnp.argmax(score)
     pick = jax.tree_util.tree_map(lambda x: x[bi], res)
     return pick, cands[bi]
+
+
+def map_reprojection_median(
+    m: MapState, fx: float, fy: float, cx: float, cy: float,
+) -> jnp.ndarray:
+    """Median reprojection error (px) of every valid keyframe
+    observation against the current landmark table — the loop-rate
+    map-consistency scalar behind the post-closure sanity gate.
+
+    Uses a plain (MK,N) row gather: this runs only when a closure
+    VERIFIES (a handful of times per session), so the TPU
+    serial-gather tax is irrelevant here — do not imitate this on the
+    frame path."""
+    ML = m.max_landmarks
+    lm = jnp.clip(m.kf_obs_lm, 0, ML - 1)
+    X = m.lm_pos[lm]                                      # (MK,N,3)
+    p_cam = jnp.einsum('kij,knj->kni', m.kf_R, X) + m.kf_t[:, None, :]
+    uv_hat = project(p_cam, fx, fy, cx, cy)
+    err = jnp.linalg.norm(uv_hat - m.kf_uv, axis=-1)
+    ok = (m.kf_valid[:, None] & m.kf_kp_valid & (m.kf_obs_lm >= 0)
+          & m.lm_valid[lm] & (p_cam[..., 2] > 1e-6))
+    return jnp.nanmedian(jnp.where(ok, err, jnp.nan))
 
 
 def apply_loop_correction(

@@ -87,6 +87,7 @@ class LoopState(NamedTuple):
     inliers_at_kf: jnp.ndarray    # () int32
     ba_it: jnp.ndarray            # () int32 — BA slices since last KF
     ba_window: jnp.ndarray        # (W,) int32 — covis window of newest KF
+    weak_run: jnp.ndarray         # () int32 — consecutive weak frames
 
 
 class RelocOut(NamedTuple):
@@ -187,9 +188,18 @@ class System:
             # --- keyframe decision, in-graph (NeedNewKeyFrame) -----------
             fs = st.frames_since_kf + 1
             ok = res.n_inliers >= tr.min_track_matches
-            weak = res.n_inliers < jnp.asarray(
+            weak_now = res.n_inliers < jnp.asarray(
                 tr.kf_tracked_ratio, jnp.float32) \
                 * jnp.maximum(st.inliers_at_kf, 1).astype(jnp.float32)
+            # Weak-trigger hysteresis: a SINGLE under-ratio frame is
+            # often backend/measurement noise, and one noise-placed KF
+            # re-anchors inliers_at_kf low, cascading the whole KF
+            # schedule into a different (usually worse) basin — the
+            # round-3 TPU-vs-CPU divergence mechanism. Require the
+            # weakness to persist kf_weak_frames consecutive frames.
+            weak_run = jnp.where(weak_now, st.weak_run + 1,
+                                 jnp.asarray(0, jnp.int32))
+            weak = weak_run >= tr.kf_weak_frames
             stale = fs >= tr.kf_max_interval
             capacity = m.n_kf < MK - 1
             need_kf = ok & capacity & (fs >= tr.kf_min_interval) \
@@ -265,7 +275,8 @@ class System:
                 frames_since_kf=jnp.where(need_kf, 0, fs),
                 inliers_at_kf=jnp.where(need_kf, res.n_inliers,
                                         st.inliers_at_kf),
-                ba_it=ba_it, ba_window=win)
+                ba_it=ba_it, ba_window=win,
+                weak_run=jnp.where(need_kf, 0, weak_run))
 
             Rwc, twc = se3_inverse(R_out, t_out)
             quat = quat_from_rotmat(Rwc)
@@ -449,6 +460,7 @@ class System:
 
         from send_slam_tpu.models.loop_closing import (
             apply_loop_correction, compute_loop_sim3_multi, loop_candidates,
+            map_reprojection_median,
         )
         self._loop_candidate = jax.jit(
             lambda m, kf_id: loop_candidates(m, kf_id, tr.loop_min_gap_kf,
@@ -457,11 +469,17 @@ class System:
             lambda m, kf, cands, key: compute_loop_sim3_multi(
                 m, kf, cands, key, tr, min_matches=tr.loop_min_matches))
 
+        cam = self.cfg.camera
+
         def _loop_apply_fn(m, kf, cand, loop):
+            med_before = map_reprojection_median(
+                m, cam.fx, cam.fy, cam.cx, cam.cy)
             m2 = apply_loop_correction(
                 m, kf, cand, loop, covis_max_gap=tr.loop_covis_max_gap)
+            med_after = map_reprojection_median(
+                m2, cam.fx, cam.fy, cam.cx, cam.cy)
             dR, dt = _newest_kf_delta(m, m2)
-            return m2, dR, dt
+            return m2, dR, dt, med_before, med_after
         self._loop_apply = jax.jit(_loop_apply_fn)
         self.loops_closed = 0
 
@@ -505,7 +523,8 @@ class System:
             # No BA slices until the first covis window exists.
             ba_it=jnp.asarray(cfg.tracking.ba_slice_max, jnp.int32),
             ba_window=jnp.full((cfg.map.ba_window,),
-                               cfg.map.max_keyframes, jnp.int32))
+                               cfg.map.max_keyframes, jnp.int32),
+            weak_run=jnp.asarray(0, jnp.int32))
 
     def warmup(self, image_dtype=np.uint8) -> None:
         """Compile every jitted program the runtime can hit — one dummy
@@ -551,7 +570,7 @@ class System:
         kf_id = jnp.asarray(1, jnp.int32)
         cands, scores = self._loop_candidate(m3, kf_id)
         loop, cand_sel = self._loop_sim3(m3, kf_id, cands, key)
-        m4, _dR, _dt = self._loop_apply(m3, kf_id, cand_sel, loop)
+        m4, _dR, _dt, _mb, _ma = self._loop_apply(m3, kf_id, cand_sel, loop)
         res_r, _sc = self._reloc_step(m3, frame, key)
         try:
             jax.block_until_ready((m4, m3g, summary, res_r))
@@ -577,6 +596,8 @@ class System:
         self._pending_loop = None
         self._loop_consistency = None   # (last candidate slot, run length)
         self.loop_attempts: List[tuple] = []
+        # Applied-closure cooldown anchor (TrackingConfig.loop_cooldown_kf).
+        self._last_loop_nkf = -(10 ** 9)
         # Next keyframe's incoming chain edge crosses a relocalization
         # (the relative pose there is a jump, not motion) — recorded on
         # the keyframe itself (MapState.kf_chain_break).
@@ -895,7 +916,12 @@ class System:
             kf_slot, cands_prev, score_fut, cand_fut = self._pending_loop
             score = float(score_fut.result())
             cand_val = int(cand_fut.result())
-            if score <= tr.loop_score_min:
+            # Saturated ~1.0 scores are DEGENERATE, not excellent: a
+            # genuine revisit differs in vantage, so near-perfect
+            # signature cosines mean near-duplicate keyframes (a map
+            # folded onto itself by a prior bad correction). They must
+            # not arm the consistency counter (round-3 branch spree).
+            if score <= tr.loop_score_min or score >= tr.loop_score_max:
                 self._pending_loop = None
                 self._loop_consistency = None
                 self.loop_attempts.append(
@@ -938,15 +964,30 @@ class System:
         applied = None
         if verified:
             kf_prev = jnp.asarray(kf_slot, jnp.int32)
-            self.map, dR, dt = self._loop_apply(
+            m2, dR, dt, med_b, med_a = self._loop_apply(
                 self.map, kf_prev, cand_prev, loop)
-            self._st = self._rebase_st(self._st, dR, dt)
-            self._enqueue_polish("global",
-                                 self.cfg.tracking.global_ba_slices)
-            self.loops_closed += 1
-            # The candidate the multi-candidate verification chose
-            # (may differ from the retrieval-top slot recorded below).
-            applied = int(np.asarray(cand_prev))
+            # Post-correction sanity gate (blocking read, loop-rate):
+            # commit only if the corrected map still reprojects — a
+            # Sim3-verified candidate can still warp the whole map when
+            # its PGO edge contradicts the chain (round-3 branch spree:
+            # per-KF error ~0.6 everywhere after the late closures).
+            med_b = float(np.asarray(med_b))
+            med_a = float(np.asarray(med_a))
+            sane = (not np.isfinite(med_a)) or med_a <= max(
+                tr.loop_sanity_px,
+                tr.loop_sanity_factor * max(med_b, 1e-6))
+            if sane:
+                self.map = m2
+                self._st = self._rebase_st(self._st, dR, dt)
+                self._enqueue_polish("global",
+                                     self.cfg.tracking.global_ba_slices)
+                self.loops_closed += 1
+                self._last_loop_nkf = self._n_kf_host
+                # The candidate the multi-candidate verification chose
+                # (may differ from the retrieval-top slot recorded below).
+                applied = int(np.asarray(cand_prev))
+            else:
+                verified = "rejected"   # distinguishable in the log
         self.loop_attempts.append(
             (int(kf_slot), int(cand_fut.result()), score, verified,
              applied))
@@ -1063,7 +1104,12 @@ class System:
         # Loop closing: dispatch the candidate retrieval now; its score
         # is read lazily a few frames later (_maybe_close_loop at frame
         # rate) once the device->host copy has completed.
-        if kf_slot >= tr.loop_min_gap_kf and self._pending_loop is None:
+        # Cooldown after an APPLIED closure: the map is mid-polish
+        # (global-BA slices queued) and retrieval against the
+        # half-corrected state produces the degenerate-score spree.
+        if (kf_slot >= tr.loop_min_gap_kf and self._pending_loop is None
+                and self._n_kf_host - self._last_loop_nkf
+                >= tr.loop_cooldown_kf):
             kf_dev = jnp.asarray(kf_slot, jnp.int32)
             cands, scores = self._loop_candidate(self.map, kf_dev)
             self._pending_loop = (

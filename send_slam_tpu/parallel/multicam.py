@@ -70,6 +70,12 @@ class MultiCamState(NamedTuple):
     # Keyframes EVER inserted (monotonic; n_kf shrinks on compaction —
     # this is the proof the lane lifecycle recycles slots).
     kf_total: jnp.ndarray         # int32
+    # --- per-lane loop-closing state (mirrors the System's host-side
+    # consistency counter + applied-closure cooldown, in-graph) -------
+    loop_last_cand: jnp.ndarray   # int32 — last probe's top candidate
+    loop_run: jnp.ndarray         # int32 — consecutive consistent probes
+    kf_since_loop: jnp.ndarray    # int32 — KFs since last APPLIED closure
+    loops_total: jnp.ndarray      # int32 — closures applied (monotonic)
 
 
 def init_multicam(cfg: EngineConfig, n_cam: int) -> MultiCamState:
@@ -91,6 +97,11 @@ def init_multicam(cfg: EngineConfig, n_cam: int) -> MultiCamState:
         inliers_at_kf=jnp.zeros((n_cam,), jnp.int32),
         lost_frames=jnp.zeros((n_cam,), jnp.int32),
         kf_total=jnp.zeros((n_cam,), jnp.int32),
+        loop_last_cand=jnp.full((n_cam,), -1, jnp.int32),
+        loop_run=jnp.zeros((n_cam,), jnp.int32),
+        # Large so the cooldown never blocks a lane's FIRST closure.
+        kf_since_loop=jnp.full((n_cam,), 10 ** 6, jnp.int32),
+        loops_total=jnp.zeros((n_cam,), jnp.int32),
     )
 
 
@@ -123,15 +134,17 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
     lane-group granularity.
 
     Returns step(state, imgs (n_cam,H,W), tss (n_cam,), keys (n_cam,2))
-    -> (state', summary (n_cam, 9)) where summary rows are
+    -> (state', summary (n_cam, 10)) where summary rows are
     [mode, n_inliers, n_kf, n_landmarks, twc_x, twc_y, twc_z, nfeat,
-    kf_total] — the only thing a host ever fetches, at whatever lag it
-    likes. kf_total counts keyframes EVER inserted (n_kf shrinks on
-    in-lane compaction).
+    kf_total, loops_total] — the only thing a host ever fetches, at
+    whatever lag it likes. kf_total counts keyframes EVER inserted
+    (n_kf shrinks on in-lane compaction).
 
     loop_closing=True adds a per-lane single-candidate loop closure
-    (retrieval -> Sim3 verify -> essential-graph correction) at
-    keyframe rate — masked like everything else."""
+    (retrieval -> Sim3 verify -> essential-graph correction -> pose
+    rebase) at keyframe rate — masked like everything else, guarded by
+    the same consistency/degenerate-score/cooldown policy as the
+    single-camera System."""
     cam, tr, orb = cfg.camera, cfg.tracking, cfg.orb
     MK = cfg.map.max_keyframes
     N = orb.n_features
@@ -180,6 +193,7 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
 
     def per_cam(img, ts, key, R, t, mode, ref_uv, ref_desc, ref_valid,
                 ref_angle, ref_oct, ref_ts, fsk, iak, lost, kft,
+                loop_last_cand, loop_run, kf_since_loop, loops_total,
                 m: MapState):
         frame = make_frame(img, ts, cfg.orb, cam)
         nfeat = frame.feat.num_valid()
@@ -251,23 +265,55 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
         m_cap, _ = compact_keyframes(m_cap)
         m_next = _tree_select(at_cap, m_cap, m_next)
 
-        # ---- optional per-lane loop closing (single candidate +
-        # Sim3 verify + essential-graph correction), at keyframe rate.
-        if loop_closing:
-            kf_new = jnp.clip(m_next.n_kf - 1, 0, MK - 1)
-            cand, score = loop_candidate(m_next, kf_new,
-                                         tr.loop_min_gap_kf)
-            loop = compute_loop_sim3(
-                m_next, kf_new, cand, jax.random.fold_in(key, 1), tr,
-                min_matches=tr.loop_min_matches)
-            do_loop = do_kf & (score > tr.loop_score_min) & loop.ok
-            m_loop = apply_loop_correction(m_next, kf_new, cand, loop)
-            m_next = _tree_select(do_loop, m_loop, m_next)
-
         R_next = jnp.where(init_ok, init_res.R,
                            jnp.where(track_ok, res.R, R))
         t_next = jnp.where(init_ok, init_res.t,
                            jnp.where(track_ok, res.t, t))
+
+        # ---- optional per-lane loop closing (single candidate + Sim3
+        # verify + essential-graph correction), at keyframe rate, with
+        # the System's spree guards carried in-graph: temporal
+        # consistency (same candidate region on consecutive KF probes),
+        # degenerate-score rejection (saturated ~1.0 cosines are
+        # self-matches on a folded map, never genuine revisits) and an
+        # applied-closure cooldown (the map is mid-settling after a
+        # correction; immediate re-probes feed the spree).
+        if loop_closing:
+            kf_new = jnp.clip(m_next.n_kf - 1, 0, MK - 1)
+            cand, score = loop_candidate(m_next, kf_new,
+                                         tr.loop_min_gap_kf)
+            in_range = (score > tr.loop_score_min) \
+                & (score < tr.loop_score_max)
+            consistent = jnp.abs(cand - loop_last_cand) \
+                <= tr.loop_consistency_radius
+            run_n = jnp.where(
+                do_kf,
+                jnp.where(in_range,
+                          jnp.where(consistent, loop_run + 1, 1), 0),
+                loop_run)
+            last_cand_n = jnp.where(do_kf, cand, loop_last_cand)
+            verify = do_kf & in_range \
+                & (run_n >= tr.loop_consistency_kf) \
+                & (kf_since_loop >= tr.loop_cooldown_kf)
+            loop = compute_loop_sim3(
+                m_next, kf_new, cand, jax.random.fold_in(key, 1), tr,
+                min_matches=tr.loop_min_matches)
+            do_loop = verify & loop.ok
+            m_loop = apply_loop_correction(m_next, kf_new, cand, loop)
+            # Rebase the lane's speculative pose by the newest-KF delta
+            # (System._rebase_st): after a large discrete correction the
+            # stale motion prior would predict into empty space.
+            cur = jnp.clip(m_next.n_kf - 1, 0, MK - 1)
+            dR = m_loop.kf_R[cur] @ m_next.kf_R[cur].T
+            dt = m_loop.kf_t[cur] - dR @ m_next.kf_t[cur]
+            m_next = _tree_select(do_loop, m_loop, m_next)
+            R_next = jnp.where(do_loop, dR @ R_next, R_next)
+            t_next = jnp.where(do_loop, dR @ t_next + dt, t_next)
+            kf_since_loop = jnp.where(
+                do_loop, 0, kf_since_loop + do_kf.astype(jnp.int32))
+            loops_total = loops_total + do_loop.astype(jnp.int32)
+            loop_run = run_n
+            loop_last_cand = last_cand_n
 
         # Reference management.
         store_ref = ((mode == MODE_NO_REF)
@@ -297,6 +343,9 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
         kft_n = kft + do_kf.astype(jnp.int32) \
             + 2 * init_ok.astype(jnp.int32)
         kft_n = jnp.where(do_reset, 0, kft_n)
+        loop_last_cand = jnp.where(do_reset, -1, loop_last_cand)
+        loop_run = jnp.where(do_reset, 0, loop_run)
+        kf_since_loop = jnp.where(do_reset, 10 ** 6, kf_since_loop)
 
         Rwc = jnp.swapaxes(R_next, -1, -2)
         twc = -(Rwc @ t_next[..., None])[..., 0]
@@ -308,10 +357,12 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
             twc[0], twc[1], twc[2],
             nfeat.astype(jnp.float32),
             kft_n.astype(jnp.float32),
+            loops_total.astype(jnp.float32),
         ])
         return (m_next, R_next, t_next, mode_n, ref_uv_n, ref_desc_n,
                 ref_valid_n, ref_angle_n, ref_oct_n, ref_ts_n, fsk_n,
-                iak_n, lost_n, kft_n, summary)
+                iak_n, lost_n, kft_n, loop_last_cand, loop_run,
+                kf_since_loop, loops_total, summary)
 
     def sharded(imgs, tss, keys, state: MultiCamState):
         outs = jax.vmap(per_cam)(
@@ -319,14 +370,17 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
             state.ref_uv, state.ref_desc, state.ref_valid,
             state.ref_angle, state.ref_oct, state.ref_ts,
             state.frames_since_kf, state.inliers_at_kf,
-            state.lost_frames, state.kf_total, state.maps)
+            state.lost_frames, state.kf_total,
+            state.loop_last_cand, state.loop_run,
+            state.kf_since_loop, state.loops_total, state.maps)
         (m, R, t, mode, ruv, rdesc, rvalid, rangle, roct, rts,
-         fsk, iak, lost, kft, summary) = outs
+         fsk, iak, lost, kft, llc, lrun, ksl, ltot, summary) = outs
         new_state = MultiCamState(
             maps=m, R=R, t=t, mode=mode, ref_uv=ruv, ref_desc=rdesc,
             ref_valid=rvalid, ref_angle=rangle, ref_oct=roct, ref_ts=rts,
             frames_since_kf=fsk, inliers_at_kf=iak, lost_frames=lost,
-            kf_total=kft)
+            kf_total=kft, loop_last_cand=llc, loop_run=lrun,
+            kf_since_loop=ksl, loops_total=ltot)
         all_summary = jax.lax.all_gather(summary, "cam", tiled=True)
         return new_state, all_summary
 

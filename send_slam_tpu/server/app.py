@@ -164,6 +164,17 @@ def main() -> None:
                    help="disable in-process engine (external backend only)")
     args = p.parse_args()
     logging.basicConfig(level=logging.INFO)
+    # Honor an explicit backend request: on machines whose
+    # sitecustomize force-registers a remote accelerator plugin, the
+    # JAX_PLATFORMS env var set by the user is silently overridden —
+    # but jax.config.update wins over both, so re-assert the user's
+    # choice here (e.g. JAX_PLATFORMS=cpu for a host-only server when
+    # the accelerator tunnel is down).
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        import jax
+        jax.config.update("jax_platforms", want)
+        log.info("forcing jax platform(s): %s", want)
     asyncio.run(_amain(args))
 
 

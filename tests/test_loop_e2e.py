@@ -186,7 +186,9 @@ def test_confuser_texture_closes_right_loop():
         sys_.track_monocular(world.render(Rs[k], tls[k]), float(ts[k]))
     sys_._flush_pipeline()
 
-    verified = [a for a in sys_.loop_attempts if a[3]]
+    # a[3] is True for applied closures; "rejected" marks Sim3-verified
+    # closures the post-correction sanity gate discarded.
+    verified = [a for a in sys_.loop_attempts if a[3] is True]
     assert sys_.loops_closed >= 1, sys_.loop_attempts[-8:]
     # Every APPLIED loop candidate must be an early (region-A) keyframe
     # — never a confuser-region one. Timestamps survive compaction.
