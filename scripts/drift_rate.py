@@ -92,11 +92,21 @@ def main():
     gt_pos = np.asarray([-R.T @ t for R, t in zip(Rs, tls)])
     path_len = float(np.sum(np.linalg.norm(np.diff(gt_pos, axis=0), axis=1)))
 
+    # SLAM_DRIFT_UINT8=1 quantizes renders to uint8 like the bench (and
+    # like every real camera / the wire format): the float-render path
+    # is an analytic-renderer artifact with no quantization noise, so
+    # sub-pixel localization has nothing to correct there and A/Bs on
+    # it do not transfer to real imagery.
+    quant = os.environ.get("SLAM_DRIFT_UINT8") == "1"
+
     sys_ = System(cfg)
     est_ts, est_pos = [], []
     n_ok = 0
     for k in range(len(ts)):
-        out = sys_.track_monocular(world.render(Rs[k], tls[k]), float(ts[k]))
+        img = world.render(Rs[k], tls[k])
+        if quant:
+            img = np.round(img).astype(np.uint8)
+        out = sys_.track_monocular(img, float(ts[k]))
         if out.tracking_state == 2 and out.position is not None:
             n_ok += 1
             est_ts.append(out.timestamp)

@@ -238,22 +238,36 @@ def refresh_landmarks(m: MapState, kf_id: jnp.ndarray) -> MapState:
     and descriptor bit votes, then re-derive each landmark's
     representative descriptor as the bitwise majority
     (ComputeDistinctiveDescriptors' role: minimize summed Hamming
-    distance to the observations). One scatter-add per keyframe."""
+    distance to the observations).
+
+    TPU layout: ``kf_obs_lm`` is a PARTIAL 1-1 MATCHING (each keypoint
+    observes <= 1 landmark and each landmark appears <= once per
+    keyframe — the insert inverts a per-landmark kp index), so the
+    naive scatter-adds here are really masked per-landmark updates:
+    the viewing direction is computed DENSELY for every landmark row
+    (no gather), and the <= 1-term "sums" (has-an-observation mask,
+    descriptor bit row) are one bf16 one-hot matmul each, built in the
+    (ML, N) orientation the matmul consumes (ops/segsum lesson). All
+    products are {0,1} x {0,1} with at most one nonzero term per
+    output, so the bf16 path is EXACT and the results are bit-identical
+    to the scatter form."""
     from send_slam_tpu.ops.hamming import pack_bits_to_u32, unpack_u32_to_bits
 
     ML = m.max_landmarks
     obs = m.kf_obs_lm[kf_id]                       # (N,)
-    ok = obs >= 0
-    tgt = jnp.where(ok, obs, ML)
-    safe = jnp.clip(obs, 0, ML - 1)
+    rows = jnp.arange(ML, dtype=obs.dtype)
+    # obs = -1 (no landmark) matches no row; no masking needed.
+    oh = (rows[:, None] == obs[None, :]).astype(jnp.bfloat16)   # (ML,N)
+    has_obs = (oh @ jnp.ones_like(obs, jnp.bfloat16)) > 0.5     # (ML,)
 
+    # Dense per-landmark viewing direction from this keyframe's center
+    # (exactly what the gathered per-keypoint form computed, row-for-row).
     R, t = m.kf_R[kf_id], m.kf_t[kf_id]
     C = -(R.T @ t[:, None])[:, 0]
-    d = m.lm_pos[safe] - C[None]
+    d = m.lm_pos - C[None]
     dirs = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-6)
 
-    add_dir = jnp.zeros((ML, 3), m.lm_pos.dtype).at[tgt].add(
-        dirs, mode="drop")
+    add_dir = jnp.where(has_obs[:, None], dirs, 0.0)
     mixed = m.lm_normal * m.lm_vote_count[:, None].astype(m.lm_pos.dtype) \
         + add_dir
     nrm = jnp.linalg.norm(mixed, axis=-1, keepdims=True)
@@ -261,8 +275,10 @@ def refresh_landmarks(m: MapState, kf_id: jnp.ndarray) -> MapState:
                            m.lm_normal)
 
     bits = unpack_u32_to_bits(m.kf_desc[kf_id], dtype=jnp.int32)  # (N,256)
-    votes = m.lm_bit_votes.at[tgt].add(bits, mode="drop")
-    vcnt = m.lm_vote_count.at[tgt].add(1, mode="drop")
+    # <=1 nonzero term per (landmark, bit) -> the bf16 matmul is exact.
+    bit_row = (oh @ bits.astype(jnp.bfloat16)).astype(jnp.int32)  # (ML,256)
+    votes = m.lm_bit_votes + bit_row
+    vcnt = m.lm_vote_count + has_obs.astype(jnp.int32)
     majority = (2 * votes > vcnt[:, None]).astype(jnp.uint32)
     new_desc = pack_bits_to_u32(majority)
     lm_desc = jnp.where((m.lm_valid & (vcnt > 0))[:, None],
