@@ -37,6 +37,39 @@ def main() -> None:
     if os.environ.get("SLAM_BENCH_CPU") == "1":
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        # The remote-accelerator tunnel can be DOWN outright (not just
+        # blipping mid-handshake): backend init then fails on the first
+        # jnp call, before the warmup retry loop can help, and the run
+        # produces NO artifact. Probe the backend in a SUBPROCESS (a
+        # failed in-process init is cached by jax and cannot be
+        # retried) and wait up to SLAM_BENCH_WAIT_BACKEND_S for the
+        # tunnel to come back before constructing the engine.
+        import subprocess
+        import time as _time
+        wait_s = float(os.environ.get("SLAM_BENCH_WAIT_BACKEND_S", "1800"))
+        deadline = _time.time() + wait_s
+        while True:
+            try:
+                # A down tunnel often HANGS the handshake rather than
+                # erroring — bound each probe.
+                probe = subprocess.run(
+                    [sys.executable, "-c", "import jax; jax.devices()"],
+                    capture_output=True, timeout=600)
+                ok, err = probe.returncode == 0, probe.stderr.decode()
+            except subprocess.TimeoutExpired:
+                ok, err = False, "probe timed out (hung handshake)"
+            if ok:
+                break
+            if _time.time() > deadline:
+                print("# backend still unavailable after "
+                      f"{wait_s:.0f}s; aborting without a bogus artifact",
+                      file=sys.stderr)
+                print(err[-500:], file=sys.stderr)
+                raise SystemExit(3)
+            print("# backend unavailable; retrying in 60s",
+                  file=sys.stderr)
+            _time.sleep(60)
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -127,6 +127,17 @@ def main():
     kpos_al = s_ * kpos @ R_.T + t_
     end_err = float(np.linalg.norm(kpos_al[-1] - gt_at[-1]))
 
+    if os.environ.get("SLAM_DRIFT_VERBOSE") == "1":
+        # Per-KF aligned error series (full-trajectory Sim3 alignment):
+        # flat-from-KF0 offsets mean a bad INIT commit; a growing ramp
+        # means accumulating scale/odometric drift.
+        s2, R2, t2 = umeyama_alignment(kpos, gt_at)
+        kerr = np.linalg.norm(s2 * kpos @ R2.T + t2 - gt_at, axis=1)
+        for t, v in zip(kts, kerr):
+            print(f"# kf t={t:7.3f}  aligned err {v:.4f}")
+        print(f"# init attempts: {sys_.init_attempts}  "
+              f"committed at {sys_.init_commit_ts}")
+
     print(f"frames tracked:   {n_ok}/{n_frames}")
     print(f"keyframes:        {int(np.asarray(sys_.map.n_kf))} "
           f"(inserted {sys_._n_kf_host})")
