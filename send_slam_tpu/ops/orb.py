@@ -227,7 +227,16 @@ def _gather_patches(img: jnp.ndarray, uv: jnp.ndarray, radius: int) -> jnp.ndarr
     expressed as two one-hot matmuls on the MXU instead (~3 ms for the
     same shape): patch = P_y @ img @ P_x^T per keypoint, with P_y/P_x
     exact {0,1} bf16 selection matrices. Pixel values round to bf16
-    (<=0.5 intensity level), noise the 256-bit descriptor absorbs."""
+    (<=0.5 intensity level), noise the 256-bit descriptor absorbs.
+
+    The CPU path applies the SAME bf16 value rounding before its exact
+    gather: a one-hot bf16 matmul returns exactly bf16(pixel) (single
+    nonzero per row — no accumulation), so rounding on CPU makes the
+    gathered patches BIT-IDENTICAL across backends. Everything
+    downstream of the patches (IC angle, BRIEF bits, subpixel offsets)
+    then consumes identical inputs — descriptor parity is what keeps
+    the two backends in the same KF-cascade basin (CLAUDE.md round-3).
+    """
     H, W = img.shape
     r = radius
     x = jnp.clip(uv[:, 0], r, W - 1 - r)
@@ -246,7 +255,8 @@ def _gather_patches(img: jnp.ndarray, uv: jnp.ndarray, radius: int) -> jnp.ndarr
                           preferred_element_type=jnp.float32)
     yy = y[:, None, None] + d[None, :, None]           # (K, P, 1)
     xx = x[:, None, None] + d[None, None, :]           # (K, 1, P)
-    return img[yy, xx]                                 # (K, P, P)
+    vals = img.astype(jnp.bfloat16).astype(jnp.float32)
+    return vals[yy, xx]                                # (K, P, P)
 
 
 @functools.lru_cache(maxsize=None)
@@ -427,7 +437,14 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
         uvf = uv_l.astype(jnp.float32)
         if cfg.subpixel:
             uvf = uvf + _subpixel_offsets(raw, uv_l)
-        uv0 = uvf * scale
+        # Half-pixel convention: level-L pixel centers sit at level-0
+        # coordinate (x + 0.5) * scale**L - 0.5 (the bilinear resample's
+        # affine maps telescope exactly — see build_pyramid). The naive
+        # uvf * scale biases upper-octave keypoints toward the origin
+        # by 0.5 * (scale**L - 1) px — 1.3 px at level 7. ORB-SLAM3
+        # inherits the same bias from cv::resize; like subpixel, this
+        # is a deliberate accuracy fix, not a parity break.
+        uv0 = (uvf + 0.5) * scale - 0.5
         parts.append(FrameFeatures(
             uv=uv0,
             response=resp,

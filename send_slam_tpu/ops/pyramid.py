@@ -17,8 +17,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _is_six_fifths(scale: float) -> bool:
+    return abs(scale - 1.2) < 1e-9
+
+
 def level_shapes(height: int, width: int, n_levels: int, scale: float) -> Tuple[Tuple[int, int], ...]:
-    """Static (H, W) per level: round(dim / scale**i)."""
+    """Static (H, W) per level.
+
+    For the ORB default scale 1.2 == 6/5 each level is EXACTLY 5/6 of
+    the rows/cols of the previous one (``(dim // 6) * 5``; up to 5
+    remainder rows/cols at the bottom/right edge are cropped, inside
+    the ORB border margin anyway). The exact ratio is what lets
+    build_pyramid run as static strided slices + elementwise f32 —
+    bit-identical between TPU and CPU — instead of a backend-dependent
+    resize matmul. Other scales fall back to round(dim / scale**i).
+    """
+    if _is_six_fifths(scale):
+        out = [(height, width)]
+        for _ in range(1, n_levels):
+            h, w = out[-1]
+            out.append((max((h // 6) * 5, 5), max((w // 6) * 5, 5)))
+        return tuple(out)
     out = []
     for i in range(n_levels):
         s = scale ** i
@@ -59,16 +78,57 @@ def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, ksize: int = 7) -> jnp.n
     return out
 
 
+# Half-pixel bilinear downsample by exactly 6:5. Output row i = 5q + r
+# samples input coordinate (i + 0.5) * 1.2 - 0.5 = 6q + (1.2 r + 0.1):
+# a fixed (offset, weight) per residue class r.
+_PHASE = ((0, 0.1), (1, 0.3), (2, 0.5), (3, 0.7), (4, 0.9))
+
+
+def _down65_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (5 * (H // 6), W): exact 6:5 bilinear over rows."""
+    H, W = x.shape
+    q = H // 6
+    g = x[: q * 6].reshape(q, 6, W)
+    outs = [(1.0 - w) * g[:, o, :] + w * g[:, o + 1, :]
+            for (o, w) in _PHASE]
+    return jnp.stack(outs, 1).reshape(q * 5, W)
+
+
+def _down65_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (H, 5 * (W // 6)): exact 6:5 bilinear over columns."""
+    H, W = x.shape
+    q = W // 6
+    g = x[:, : q * 6].reshape(H, q, 6)
+    outs = [(1.0 - w) * g[:, :, o] + w * g[:, :, o + 1]
+            for (o, w) in _PHASE]
+    return jnp.stack(outs, 2).reshape(H, q * 5)
+
+
 def build_pyramid(
     img: jnp.ndarray, n_levels: int, scale: float,
 ) -> List[jnp.ndarray]:
     """(H, W) float32 -> list of n_levels images, each ~1/scale smaller.
 
     Linear (half-pixel) resampling from the previous level like
-    ORB-SLAM3's repeated cv::resize INTER_LINEAR.
+    ORB-SLAM3's repeated cv::resize INTER_LINEAR. At the default scale
+    1.2 the resample is an EXACT 5-phase strided-slice bilinear (see
+    level_shapes): pure elementwise f32, so every level is
+    bit-identical between TPU and CPU — jax.image.resize lowers to
+    matmuls whose last-ULP accumulation differences seed FAST-score
+    comparison flips and descriptor-bit noise that made the two
+    backends diverge into different KF-cascade basins (CLAUDE.md
+    round-3 findings). Level-L pixel (x, y) maps to level-0
+    coordinates ((x + 0.5) * 1.2**L - 0.5, ...): the per-level
+    half-pixel affine maps telescope exactly.
     """
     shapes = level_shapes(img.shape[0], img.shape[1], n_levels, scale)
     levels = [img]
+    if _is_six_fifths(scale):
+        for i in range(1, n_levels):
+            nxt = _down65_cols(_down65_rows(levels[-1]))
+            assert nxt.shape == shapes[i], (nxt.shape, shapes[i])
+            levels.append(nxt)
+        return levels
     for i in range(1, n_levels):
         prev = levels[-1]
         levels.append(jax.image.resize(prev, shapes[i], method="linear"))

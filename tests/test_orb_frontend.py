@@ -33,10 +33,14 @@ def checker_texture(h=240, w=320, seed=7):
 
 class TestPyramidBlur:
     def test_level_shapes(self):
+        # Exact 6:5 per level at the default 1.2 (bit-identical
+        # strided-slice resample; up to 5 px cropped at bottom/right).
         shapes = level_shapes(480, 640, 8, 1.2)
         assert shapes[0] == (480, 640)
-        assert shapes[1] == (400, 533)
+        assert shapes[1] == (400, 530)
         assert len(shapes) == 8
+        for (h0, w0), (h1, w1) in zip(shapes, shapes[1:]):
+            assert h1 == (h0 // 6) * 5 and w1 == (w0 // 6) * 5
 
     def test_gaussian_blur_matches_cv2(self):
         img = checker_texture()
@@ -44,16 +48,55 @@ class TestPyramidBlur:
         ref = cv2.GaussianBlur(img, (7, 7), 2.0, borderType=cv2.BORDER_REFLECT_101)
         np.testing.assert_allclose(ours, ref, atol=1e-2)
 
-    def test_pyramid_levels_close_to_cv2(self):
+    def test_pyramid_levels_match_cv2(self):
+        """Each level equals cv2 INTER_LINEAR of the (cropped) previous
+        level: same half-pixel sampling once the ratio is exactly 6/5."""
         img = checker_texture()
         levels = build_pyramid(jnp.asarray(img), 4, 1.2)
         prev = img
         for i in range(1, 4):
             h, w = levels[i].shape
-            ref = cv2.resize(prev, (w, h), interpolation=cv2.INTER_LINEAR)
+            used = prev[: (h // 5) * 6, : (w // 5) * 6]
+            ref = cv2.resize(used, (w, h), interpolation=cv2.INTER_LINEAR)
             diff = np.abs(np.asarray(levels[i]) - ref)
-            assert np.median(diff) < 2.0, (i, np.median(diff))
-            prev = ref
+            assert np.median(diff) < 0.05, (i, np.median(diff))
+            assert diff.max() < 1.0, (i, diff.max())
+            prev = np.asarray(levels[i])
+
+    def test_pyramid_bit_exact_vs_numpy_spec(self):
+        """The exact-1.2 path is pure elementwise f32 (never a resize
+        matmul): it must be BIT-identical to a straight numpy f32
+        rendition of the same 5-phase arithmetic. Elementwise IEEE f32
+        is deterministic on every backend, so this equality is exactly
+        the TPU==CPU level-image guarantee the basin-divergence fix
+        rests on."""
+        img = checker_texture()
+        levels = build_pyramid(jnp.asarray(img), 4, 1.2)
+
+        def down65(a):
+            h, w = a.shape
+            q6 = (h // 6) * 6
+            g = a[:q6].reshape(-1, 6, w)
+            rows = np.stack(
+                [(np.float32(1.0 - wt) * g[:, o, :]
+                  + np.float32(wt) * g[:, o + 1, :]).astype(np.float32)
+                 for (o, wt) in ((0, 0.1), (1, 0.3), (2, 0.5),
+                                 (3, 0.7), (4, 0.9))], 1)
+            a = rows.reshape(-1, w)
+            h2 = a.shape[0]
+            p6 = (w // 6) * 6
+            g = a[:, :p6].reshape(h2, -1, 6)
+            cols = np.stack(
+                [(np.float32(1.0 - wt) * g[:, :, o]
+                  + np.float32(wt) * g[:, :, o + 1]).astype(np.float32)
+                 for (o, wt) in ((0, 0.1), (1, 0.3), (2, 0.5),
+                                 (3, 0.7), (4, 0.9))], 2)
+            return cols.reshape(h2, -1)
+
+        ref = img.astype(np.float32)
+        for i in range(1, 4):
+            ref = down65(ref)
+            assert np.array_equal(np.asarray(levels[i]), ref), i
 
 
 class TestFast:
