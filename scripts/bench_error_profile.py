@@ -72,14 +72,57 @@ def main():
     sys_ = System(cfg)
     est = {}
     states = []
+    inliers = []
+    lm_series = []
+    map_stats = os.environ.get("SLAM_PROFILE_MAPSTATS") == "1"
     for k in range(n_frames):
         out = sys_.track_monocular(frames[k], float(ts[k]))
         states.append(out.tracking_state)
+        inliers.append(out.n_inliers)
+        lm_series.append(out.n_landmarks)
+        if map_stats:   # forces a device sync per frame — diagnostics only
+            lm_series[-1] = int(np.asarray(sys_.map.n_landmarks()))
         if out.tracking_state == 2 and out.position is not None:
             est[round(out.timestamp * 30)] = np.asarray(out.position)
     sys_._flush_pipeline()
 
+    # End-of-run map forensics: is the trackable set replenished
+    # (new landmarks created AND matched) or starving?
+    m = sys_.map
+    n_kf = int(np.asarray(m.n_kf))
+    print(f"# map: n_kf={n_kf} n_landmarks={int(np.asarray(m.n_landmarks()))}")
+    if lm_series:
+        print("# n_landmarks per frame: "
+              + " ".join(str(v) for v in lm_series))
+    vc = np.asarray(m.lm_vote_count)[np.asarray(m.lm_valid)]
+    if vc.size:
+        hist = np.bincount(np.clip(vc, 0, 9), minlength=10)
+        print("# lm vote-count histogram (1..9+): "
+              + " ".join(str(int(h)) for h in hist[1:]))
+    fnd = np.asarray(m.lm_found, float)[np.asarray(m.lm_valid)]
+    vis = np.asarray(m.lm_visible, float)[np.asarray(m.lm_valid)]
+    if vis.size:
+        r = fnd / np.maximum(vis, 1)
+        print(f"# lm found/visible: median {np.median(r):.2f}  "
+              f"q10 {np.quantile(r, 0.1):.2f}  q90 {np.quantile(r, 0.9):.2f}")
+    obs = np.asarray(m.kf_obs_lm)
+    valid_lm = np.asarray(m.lm_valid)
+    kf_ts = np.asarray(m.kf_timestamp)
+    kf_ok = np.asarray(m.kf_valid)
+    print("# per-KF live obs counts (t: obs->valid):")
+    for s in range(min(n_kf, m.max_keyframes)):
+        if not kf_ok[s]:
+            continue
+        row = obs[s]
+        n_obs = int((row >= 0).sum())
+        n_live = int(valid_lm[np.clip(row, 0, m.max_landmarks - 1)][
+            row >= 0].sum())
+        print(f"#   kf{s:3d} t={kf_ts[s]:.3f}  obs {n_obs:4d} -> live {n_live:4d}")
+
     print("# states: " + "".join(str(s) for s in states))
+    print("# inliers (lagged): "
+          + " ".join(str(i) for i in inliers))
+    print(f"# loop attempts: {sys_.loop_attempts}")
     commit_ts = sys_.init_commit_ts
     print(f"# init attempts: {sys_.init_attempts}  committed at: "
           f"{-1.0 if commit_ts is None else commit_ts:.3f} s")

@@ -155,6 +155,18 @@ class TrackingConfig:
     # right region (ATE 0.016) and the spree guards engage cleanly.
     kf_weak_frames: int = 2
     kf_max_interval: int = 10       # force a KF after this many frames
+    # Weakness REFERENCE for the under-ratio trigger. False (classic):
+    # the inlier count frozen at the last insertion instant — but that
+    # anchor RATCHETS: one noise-dip-placed keyframe re-anchors it low
+    # and the weak trigger goes deaf for the rest of the run (the
+    # schedule degrades to stale-only; the round-3 TPU bench run
+    # placed 10 KFs in 74 frames this way and drifted into a tracking
+    # loss). True: reference = the newest keyframe's CURRENT count of
+    # mature map points (lm_vote_count >= min(3, n_kf) observations,
+    # ORB-SLAM3's Tracking::NeedNewKeyFrame nRefMatches =
+    # TrackedMapPoints(minObs) on the reference KF) — a map property
+    # that noise dips cannot re-anchor.
+    kf_ref_map: bool = False
     # Which earlier keyframes (slots back from the new one) new-point
     # triangulation pairs against. On forward-marching scenes the most
     # recent keyframes have the smallest baselines; spreading the refs

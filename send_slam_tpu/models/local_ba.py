@@ -352,17 +352,37 @@ def _write_back(m, kf_R, kf_t, kf_obs_pruned, lm_pos, kf_ok, gid, MK):
                       lm_pos=lm_pos)
 
 
-def _prune_obs(kf_obs, obs_valid, chi2, pz, prune, chi2_prune_mult):
+def _prune_obs(kf_obs, obs_valid, chi2, pz, prune, chi2_prune_mult,
+               max_prune_frac: float = 0.25):
     """Observation pruning (the post-BA outlier erase of ORB-SLAM's
     LocalBundleAdjustment): drop in-window observations whose final
-    chi2 exceeds the threshold."""
+    chi2 exceeds the threshold.
+
+    HEALTH GUARD: pruning only runs when the violating observations are
+    a bounded MINORITY (<= max_prune_frac of the window's live
+    observations). Outlier erasure assumes the map is right and a few
+    observations are wrong; when a majority violates chi2 the GEOMETRY
+    is off (mid-run drift, an under-converged window, a half-applied
+    correction) and erasing by threshold amputates the map instead of
+    cleaning it — a positive feedback (fewer constraints -> more drift
+    -> bigger residuals) that ended the round-4 TPU bench forensics
+    with 19 live landmarks and six observation-less keyframes. A bad
+    epoch's true outliers survive one pass and are erased by a later
+    healthy pass."""
     bad_obs = obs_valid & ((chi2 > chi2_prune_mult * CHI2_2DOF)
                            | (pz <= 1e-3))
+    # Per-KEYFRAME health (rows are keyframes, (W, N)): one mis-posed
+    # keyframe in an otherwise-clean window must keep its observations
+    # too — the window-mean fraction would hide it.
+    n_bad = jnp.sum(bad_obs.astype(jnp.float32), axis=-1, keepdims=True)
+    n_live = jnp.maximum(
+        jnp.sum(obs_valid.astype(jnp.float32), axis=-1, keepdims=True), 1.0)
+    healthy = n_bad <= max_prune_frac * n_live
     if isinstance(prune, bool):
         if not prune:
             return kf_obs
-        return jnp.where(bad_obs, -1, kf_obs)
-    return jnp.where(jnp.asarray(prune) & bad_obs, -1, kf_obs)
+        return jnp.where(healthy & bad_obs, -1, kf_obs)
+    return jnp.where(jnp.asarray(prune) & healthy & bad_obs, -1, kf_obs)
 
 
 def _ba_small(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx, inv_sigma2,

@@ -106,6 +106,9 @@ class TrackOutput(NamedTuple):
     orientation: Optional[np.ndarray]   # Twc unit quaternion (x,y,z,w)
     n_inliers: int
     timestamp: float
+    # Diagnostics riding the same lagged summary (no extra fetch):
+    # live landmark count at dispatch time (-1 when unknown).
+    n_landmarks: int = -1
 
 
 class System:
@@ -188,9 +191,26 @@ class System:
             # --- keyframe decision, in-graph (NeedNewKeyFrame) -----------
             fs = st.frames_since_kf + 1
             ok = res.n_inliers >= tr.min_track_matches
+            if tr.kf_ref_map:
+                # Reference = the newest keyframe's live count of
+                # MATURE map points (>= min(3, n_kf) keyframe
+                # observations — ORB-SLAM3's nRefMatches). A map
+                # property: culling lowers it, maturation raises it,
+                # and a noisy per-frame inlier dip cannot re-anchor it
+                # (the classic anchor ratchets — see config.kf_ref_map).
+                ML_ = m.max_landmarks
+                newest = jnp.clip(m.n_kf - 1, 0, MK - 1)
+                obs_row = m.kf_obs_lm[newest]                    # (N,)
+                mature_th = jnp.minimum(m.n_kf, 3)
+                mature = m.lm_valid & (m.lm_vote_count >= mature_th)
+                ref = jnp.sum(((obs_row >= 0)
+                               & mature[jnp.clip(obs_row, 0, ML_ - 1)]
+                               ).astype(jnp.int32))
+            else:
+                ref = st.inliers_at_kf
             weak_now = res.n_inliers < jnp.asarray(
                 tr.kf_tracked_ratio, jnp.float32) \
-                * jnp.maximum(st.inliers_at_kf, 1).astype(jnp.float32)
+                * jnp.maximum(ref, 1).astype(jnp.float32)
             # Weak-trigger hysteresis: a SINGLE under-ratio frame is
             # often backend/measurement noise, and one noise-placed KF
             # re-anchors inliers_at_kf low, cascading the whole KF
@@ -587,6 +607,9 @@ class System:
         cfg = self.cfg
         self.map: MapState = empty_map(cfg.map, cfg.orb.n_features)
         self.state = TRACKING_NO_IMAGES_YET
+        # Session epoch: device timestamps are (t - _t0) so float32
+        # arrays keep millisecond resolution under epoch-sized stamps.
+        self._t0: Optional[float] = None
         self._ref_frame: Optional[Frame] = None
         self._st = self._fresh_loop_state()
         self._lost_frames = 0
@@ -632,17 +655,29 @@ class System:
     def track_monocular(self, gray: np.ndarray, timestamp: float) -> TrackOutput:
         """gray: (H, W) uint8/float — one frame. Returns the pose in
         world-from-camera convention (Twc), like the reference backend
-        sends (Twc = Tcw^-1, orbslam3_mono_networked.cc:246-249)."""
+        sends (Twc = Tcw^-1, orbslam3_mono_networked.cc:246-249).
+
+        ``timestamp`` may be an absolute epoch (real cameras stamp
+        time.time(); TUM sequences carry ~1.3e9 s). Device arrays are
+        float32 — at epoch magnitude one ULP is ~128 s, which silently
+        destroys every timestamp comparison (the dataset e2e test
+        caught init never committing because the reference-frame
+        staleness check fired on rounding noise alone). All DEVICE
+        timestamps are therefore session-relative (t - t0 of the first
+        frame); host bookkeeping and outputs stay absolute."""
+        if self._t0 is None:
+            self._t0 = float(timestamp)
+        ts_dev = float(timestamp) - self._t0
         if self.state in (TRACKING_OK, TRACKING_RECENTLY_LOST):
-            return self._track_pipelined(gray, timestamp)
+            return self._track_pipelined(gray, timestamp, ts_dev)
 
         self._flush_pipeline()
         img = jnp.asarray(gray, jnp.float32)
         if self.state in (TRACKING_NO_IMAGES_YET, TRACKING_NOT_INITIALIZED):
-            frame = self._make_frame(img, timestamp)
-            self._try_initialize(frame, timestamp)
+            frame = self._make_frame(img, ts_dev)
+            self._try_initialize(frame, ts_dev)
         elif self.state == TRACKING_LOST:
-            frame = self._make_frame(img, timestamp)
+            frame = self._make_frame(img, ts_dev)
             self._relocalize(frame, timestamp)
 
         if self.state == TRACKING_OK:
@@ -667,11 +702,12 @@ class System:
         self._last_inliers = int(res.n_good)
         self._init_best = None
         self._init_probes_left = 0
-        self.init_commit_ts = timestamp
-        ts_ref = float(np.asarray(ref_frame.timestamp))
+        self.init_commit_ts = timestamp    # session-relative ("seq time")
+        t0 = self._t0 or 0.0
+        ts_ref = t0 + float(np.asarray(ref_frame.timestamp))
         eye_p, eye_q = np.zeros(3), np.array([0.0, 0.0, 0.0, 1.0])
         self._kf_trajectory.append((ts_ref, eye_p, eye_q))
-        ts_cur = float(np.asarray(cur_frame.timestamp))
+        ts_cur = t0 + float(np.asarray(cur_frame.timestamp))
         Rwc, twc = se3_inverse(res.R, res.t)
         self._kf_trajectory.append(
             (ts_cur, np.asarray(twc), np.asarray(quat_from_rotmat(Rwc))))
@@ -728,7 +764,8 @@ class System:
                 self._init_best = None
                 self._init_probes_left = 0
 
-    def _track_pipelined(self, gray, timestamp: float) -> TrackOutput:
+    def _track_pipelined(self, gray, timestamp: float,
+                         ts_dev: float) -> TrackOutput:
         """Dispatch this frame with no host sync; fetch and act on the
         PREVIOUS frame's 12-float summary (whose device->host copy has
         been in flight since its dispatch). One frame of decision lag
@@ -761,7 +798,7 @@ class System:
         st_prev = self._st
         chain_break = jnp.asarray(self._reloc_boundary_next_kf)
         m2, st2, summary = self._frame_step(
-            self.map, self._st, arr, timestamp, chain_break)
+            self.map, self._st, arr, ts_dev, chain_break)
         fut = self._fetch_pool.submit(np.asarray, summary)
         self._pending.append(dict(ts=timestamp, st_prev=st_prev, future=fut))
         self.map, self._st = m2, st2
@@ -840,7 +877,8 @@ class System:
         self._maybe_compact(n_kf)
 
         self._trajectory.append((ts, pos, quat))
-        out = TrackOutput(TRACKING_OK, pos, quat, n_inl, ts)
+        out = TrackOutput(TRACKING_OK, pos, quat, n_inl, ts,
+                          n_landmarks=int(s[S_NLM]))
         self._last_out = out
         return out
 
@@ -887,6 +925,7 @@ class System:
         traj, kf_traj = self._trajectory, self._kf_trajectory
         key, atlas = self._key, self.atlas
         loops, welds = self.loops_closed, self.welds_done
+        t0 = self._t0
         attempts = self.loop_attempts
         n_init, ts_init = self.init_attempts, self.init_commit_ts
         self.reset()
@@ -895,6 +934,7 @@ class System:
         self.loops_closed, self.welds_done = loops, welds
         self.loop_attempts = attempts
         self.init_attempts, self.init_commit_ts = n_init, ts_init
+        self._t0 = t0    # keep the session epoch across the map freeze
 
     def _maybe_close_loop(self) -> None:
         """Two-phase, one phase per drained frame:
@@ -1154,7 +1194,10 @@ class System:
             return np.zeros(0), np.zeros((0, 3)), np.zeros((0, 4))
         Rws, tws = se3_inverse(self.map.kf_R[sel], self.map.kf_t[sel])
         quats = quat_from_rotmat(Rws)
-        return (np.asarray(self.map.kf_timestamp[sel]),
+        # Device timestamps are session-relative; re-anchor to the
+        # absolute epoch for export (TUM eval associates on it).
+        t0 = self._t0 or 0.0
+        return (t0 + np.asarray(self.map.kf_timestamp[sel], np.float64),
                 np.asarray(tws), np.asarray(quats))
 
     def keyframe_trajectory_tum(self) -> str:

@@ -136,6 +136,25 @@ class TestLocalBA:
         assert obs[3, 5] == -1                      # pruned
         assert (obs[3, :n_lm] >= 0).sum() == n_lm - 1
 
+    def test_majority_violation_skips_pruning(self):
+        """The prune health guard: when MOST observations violate the
+        chi2 threshold the geometry is wrong, not the observations —
+        erasing them would amputate the map (round-4 bench forensics:
+        19 live landmarks left). The pass must leave the observation
+        table intact instead."""
+        m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem(
+            pose_noise=0.0, lm_noise=0.0)
+        # Corrupt 60% of every keyframe's observations by ~60 px.
+        uv = np.array(m.kf_uv)
+        n_bad = int(0.6 * n_lm)
+        uv[:n_kf, :n_bad] += np.array([55.0, -35.0], np.float32)
+        m = m._replace(kf_uv=jnp.asarray(uv))
+        m2 = jax.jit(lambda mm: local_bundle_adjustment(
+            mm, K, cfg, iters=3))(m)
+        obs = np.asarray(m2.kf_obs_lm)
+        # Nothing pruned: the violating set is a majority.
+        assert (obs[:n_kf, :n_lm] >= 0).all()
+
     def test_window_subset_only_moves_window(self):
         m, cfg, X_gt, kf_R, kf_t, n_lm, n_kf = make_problem()
         import dataclasses
