@@ -140,9 +140,22 @@ def main():
     gk = np.stack([gt_pos[np.argmin(np.abs(ts - t))] for t in kts])
     s2, R2, t2 = umeyama_alignment(kpos, gk)
     kerr = np.linalg.norm((s2 * (R2 @ kpos.T)).T + t2 - gk, axis=1)
-    print("# per-KF aligned error (m):")
-    for t, v in zip(kts, kerr):
-        print(f"kf t={t:.3f}  err {v:.4f}")
+    # Alignment-free cross-check: the KF-table position vs the STREAM
+    # pose recorded when that frame was tracked, plus the KF position
+    # mapped through the stream's alignment. Separates "BA rewrote the
+    # keyframe away from where tracking put it" (big raw delta) from
+    # "the 12-point scale fit is ill-conditioned" (big kf-aligned err,
+    # small raw delta).
+    frame_ts = {k: ts[k] for k in ks}
+    print("# per-KF aligned error (m) [own fit | stream fit | raw delta"
+          " vs stream pose]:")
+    for t, v, p in zip(kts, kerr, kpos):
+        k_near = min(ks, key=lambda k: abs(frame_ts[k] - t))
+        raw = (np.linalg.norm(p - est[k_near])
+               if abs(frame_ts[k_near] - t) < 1e-3 else float("nan"))
+        g_near = gt_pos[np.argmin(np.abs(ts - t))]
+        via_stream = np.linalg.norm(s_ * (R_ @ p) + t_ - g_near)
+        print(f"kf t={t:.3f}  err {v:.4f}  {via_stream:.4f}  {raw:.4f}")
     print(f"# kf ATE: {float(np.sqrt(np.mean(kerr ** 2))):.4f}")
 
 
