@@ -31,8 +31,16 @@ from send_slam_tpu.utils.synth import SyntheticWorld
 
 def main():
     n_frames = int(os.environ.get("SLAM_BENCH_FRAMES", "90"))
+    # SLAM_WORLD_SEED: vary the rendered world. REQUIRED for TPU
+    # A/Bs between code changes: the axon relay serves CACHED outputs
+    # for repeated (same-input) dispatches EVEN AFTER THE COMPILED
+    # PROGRAM CHANGES (measured round 4: an exact-vs-bf16 BA assembly
+    # change produced a bit-identical 90-frame run until the world
+    # seed moved). Pair every A/B at a fresh seed.
+    seed = int(os.environ.get("SLAM_WORLD_SEED", "11"))
+    print(f"# world seed: {seed}")
     world = SyntheticWorld(n_points=900, width=640, height=480,
-                           fx=520.0, fy=520.0)
+                           fx=520.0, fy=520.0, seed=seed)
     tr_kwargs = dict(init_min_matches=50, pipeline_depth=6,
                      pipeline_stretch=2)
     orb_kwargs = {}
@@ -74,7 +82,23 @@ def main():
     states = []
     inliers = []
     lm_series = []
+    scale_series = []
     map_stats = os.environ.get("SLAM_PROFILE_MAPSTATS") == "1"
+
+    def _scale_proxy():
+        # Map-frame extent: max camera-center norm over valid KFs. A
+        # retroactive map rescale (the round-4 TPU forensics: the KF
+        # table ended ~9x the stream trajectory's scale) shows up as a
+        # jump in this series at the frame it happens.
+        mm = sys_.map
+        ok = np.asarray(mm.kf_valid)
+        if not ok.any():
+            return 0.0
+        R = np.asarray(mm.kf_R)[ok]
+        t = np.asarray(mm.kf_t)[ok]
+        C = -np.einsum("kij,kj->ki", R.transpose(0, 2, 1), t)
+        return float(np.linalg.norm(C, axis=1).max())
+
     for k in range(n_frames):
         out = sys_.track_monocular(frames[k], float(ts[k]))
         states.append(out.tracking_state)
@@ -82,9 +106,16 @@ def main():
         lm_series.append(out.n_landmarks)
         if map_stats:   # forces a device sync per frame — diagnostics only
             lm_series[-1] = int(np.asarray(sys_.map.n_landmarks()))
+            scale_series.append(_scale_proxy())
         if out.tracking_state == 2 and out.position is not None:
             est[round(out.timestamp * 30)] = np.asarray(out.position)
+    pre_flush = _scale_proxy()
     sys_._flush_pipeline()
+    print(f"# map extent pre-flush {pre_flush:.4f} "
+          f"post-flush {_scale_proxy():.4f}")
+    if scale_series:
+        print("# map extent per frame: "
+              + " ".join(f"{v:.3f}" for v in scale_series))
 
     # End-of-run map forensics: is the trackable set replenished
     # (new landmarks created AND matched) or starving?
@@ -147,11 +178,12 @@ def main():
     # "the 12-point scale fit is ill-conditioned" (big kf-aligned err,
     # small raw delta).
     frame_ts = {k: ts[k] for k in ks}
+    print(f"# alignment scales: stream {s_:.3f}  kf-own {s2:.3f}")
     print("# per-KF aligned error (m) [own fit | stream fit | raw delta"
-          " vs stream pose]:")
+          " vs stream pose, GT units]:")
     for t, v, p in zip(kts, kerr, kpos):
         k_near = min(ks, key=lambda k: abs(frame_ts[k] - t))
-        raw = (np.linalg.norm(p - est[k_near])
+        raw = (s_ * np.linalg.norm(p - est[k_near])
                if abs(frame_ts[k_near] - t) < 1e-3 else float("nan"))
         g_near = gt_pos[np.argmin(np.abs(ts - t))]
         via_stream = np.linalg.norm(s_ * (R_ @ p) + t_ - g_near)

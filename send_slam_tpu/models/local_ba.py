@@ -139,13 +139,24 @@ def _block_assembly(om_b: ObsMap, ru, rv, wgt, Jp_u, Jp_v, Jt_u, Jt_v):
         + Jt_v * (wgt * rv)[:, None, :]                 # (Wb,3,N)
 
     # Landmark-side assembly: one fused (12, Wb*N) segment sum
-    # straight into L-minor layout.
+    # straight into L-minor layout. EXACT (hi+lo two-pass) on TPU:
+    # plain bf16 rounding (~0.4% relative) on the landmark Hessian/
+    # gradient blocks and the cross blocks is NOT absorbed by the
+    # Levenberg damping when the window's gauge is weakly anchored —
+    # the monocular scale direction has near-zero true curvature, so
+    # 0.4% noise on the large entries swamps it and the solve walks
+    # the whole map along it. Measured (round 4, TPU bench scenario):
+    # bf16 assembly inflated the map 6.7x over the last keyframes and
+    # left stream ATE at 0.14-0.20; exact paths gave 0.019 with scale
+    # parity to CPU. The extra MXU pass costs ~1 ms per BA dispatch.
     vals_t = jnp.concatenate([
         Hll_obs.reshape(Wb, 9, N), bl_obs], axis=1)     # (Wb,12,N)
     acc_t = om_b.seg_sum_t(
-        vals_t.transpose(1, 0, 2).reshape(12, Wb * N))  # (12, ML)
+        vals_t.transpose(1, 0, 2).reshape(12, Wb * N),
+        exact=True)                                     # (12, ML)
     # Pose-landmark cross blocks, L-minor: (Wb, 18, ML).
-    H_pl = om_b.seg_sum_batched_t(Hpl_obs.reshape(Wb, 18, N))
+    H_pl = om_b.seg_sum_batched_t(Hpl_obs.reshape(Wb, 18, N),
+                                  exact=True)
     return H_pp, b_p, acc_t, H_pl
 
 
@@ -415,14 +426,15 @@ def _ba_small(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx, inv_sigma2,
 
         dR, dt = jax.vmap(se3_exp)(delta_p)
         kf_R_new, kf_t_new = jax.vmap(se3_compose)(dR, dt, kf_R, kf_t)
-        # The carried observation positions advance by a CHEAP (1-pass
-        # bf16) gather of the delta — rounding is relative to the step,
-        # not the state, and it halves the per-iteration one-hot
-        # traffic vs re-gathering lm_pos exactly.
-        X_t_new = X_t + om.gather_t(delta_lt, exact=False)
+        # The carried observation positions advance by an EXACT
+        # (hi+lo) gather of the delta: bf16 step rounding compounds
+        # across iterations along the weakly-curved gauge directions
+        # (same failure mode as the assembly — see _block_assembly).
+        # The delta table is (3, ML); the second pass costs ~0.1 ms.
+        X_t_new = X_t + om.gather_t(delta_lt, exact=True)
         return (kf_R_new, kf_t_new, lm_pos + delta_l, X_t_new), None
 
-    X_t0 = om.gather_t(m.lm_pos.T)               # exact, once; (3, R)
+    X_t0 = om.gather_t(m.lm_pos.T, full=True)    # f32-faithful; (3, R)
     (kf_R, kf_t, lm_pos, X_t), _ = jax.lax.scan(
         ba_iter, (kf_R, kf_t, m.lm_pos, X_t0), jnp.arange(iters))
 
@@ -488,7 +500,7 @@ def _ba_chunked(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx,
             del c_idx
             om_b = ObsMap(jnp.where(inp["obs_valid"], inp["lm_idx"],
                                     ML).reshape(-1), ML)
-            X_tb = om_b.gather_t(lm_pos_t)              # (3, Wc*N) exact
+            X_tb = om_b.gather_t(lm_pos_t, full=True)   # (3, Wc*N)
             x = X_tb[0].reshape(Wc, N)
             y = X_tb[1].reshape(Wc, N)
             zw = X_tb[2].reshape(Wc, N)

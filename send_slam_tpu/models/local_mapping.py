@@ -77,9 +77,23 @@ def create_new_landmarks(
     unassoc_a = (m.kf_obs_lm[kf_ref] < 0) & m.kf_kp_valid[kf_ref]
     unassoc_b = (m.kf_obs_lm[kf_new] < 0) & m.kf_kp_valid[kf_new]
 
+    # Per-keypoint measurement sigma from the detection octave. Every
+    # acceptance gate below scales with it (ORB-SLAM3 LocalMapping
+    # gates epipolar distance by 3.84*sigma2 of the kp2 octave and
+    # reprojection by 5.991*sigma2 — CheckDistEpipolarLine /
+    # CreateNewMapPoints): a FIXED pixel gate under-admits high-octave
+    # keypoints whose detector noise is sigma ~ 1.2^octave px, and the
+    # yield collapse compounds whenever the pose estimate carries any
+    # noise at all (the round-4 TPU forensics: 106 vs 256 new landmarks
+    # at the same keyframe from a sub-1e-4 pose difference).
+    sigma2_a = scale_factor ** (
+        2.0 * m.kf_octave[kf_ref].astype(jnp.float32))     # (N,)
+    sigma2_b = scale_factor ** (
+        2.0 * m.kf_octave[kf_new].astype(jnp.float32))     # (N,)
+
     F = fundamental_from_poses(Ra, ta, Rb, tb, K)
     epi = epipolar_distance_matrix(F, uva, uvb)
-    epi_mask = epi < epi_th_px
+    epi_mask = epi * epi < (epi_th_px * epi_th_px) * sigma2_b[None, :]
 
     match = match_descriptors(
         desca, descb, unassoc_a, unassoc_b,
@@ -115,8 +129,8 @@ def create_new_landmarks(
 
     finite = jnp.all(jnp.isfinite(X), -1)
     good = (match.valid & finite & (pa[:, 2] > 1e-3) & (pb[:, 2] > 1e-3)
-            & (reproj_err2(pa, x1, K) < reproj_th2)
-            & (reproj_err2(pb, x2, K) < reproj_th2)
+            & (reproj_err2(pa, x1, K) < reproj_th2 * sigma2_a)
+            & (reproj_err2(pb, x2, K) < reproj_th2 * sigma2_b[idx_b])
             & (cos_par < min_parallax_cos))
 
     # Viewing statistics at creation (MapPoint ctor + UpdateNormalAnd-

@@ -55,6 +55,23 @@ def _split_hi_lo(v: jnp.ndarray):
     return hi, lo
 
 
+def _split3(v: jnp.ndarray):
+    """Three-way bf16 split: 3 x 8 mantissa bits covers the full f32
+    mantissa, so the three-pass matmul reproduces an f32 gather to
+    ~2^-24 relative. Needed wherever the gathered quantity is STATE
+    whose error lands in near-zero residuals: a 2^-16 (two-pass)
+    position gather injects fx * 2^-16 * |X| / z ~ 0.03 px of fresh
+    pseudo-noise into every BA residual each dispatch — a
+    self-sustaining random walk along the window's weakly-anchored
+    gauge directions (measured round 4: the map scale wandered 2-70x
+    over a 90-frame run; three-pass + exact assembly holds it)."""
+    hi = v.astype(jnp.bfloat16)
+    r1 = v - hi.astype(v.dtype)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(v.dtype)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _mm(a16: jnp.ndarray, b16: jnp.ndarray) -> jnp.ndarray:
     """(A, K) bf16 @ (K, B) bf16 -> (A, B) f32, plain orientation."""
     return jax.lax.dot_general(
@@ -198,12 +215,20 @@ class ObsMap:
         return out_t.T                                   # (R, D) small-minor
 
     def gather_t(self, table_t: jnp.ndarray,
-                 exact: bool = True) -> jnp.ndarray:
+                 exact: bool = True, full: bool = False) -> jnp.ndarray:
         """(D, L) -> (D, R): gather with L-minor table and R-minor
-        output — the fully relayout-free direction."""
+        output — the fully relayout-free direction.
+
+        full=True uses the three-pass split (~2^-24, f32-faithful) —
+        REQUIRED for state tables (landmark positions) whose gather
+        error lands in near-zero residuals; see _split3."""
         if self.oh_t is None:
             out = table_t[:, jnp.clip(self.ids, 0, self.L - 1)]
             return jnp.where(self._ok[None, :], out, 0.0)
+        if full:
+            hi, mid, lo = _split3(table_t)
+            return (_mm(hi, self.oh_t) + _mm(mid, self.oh_t)
+                    + _mm(lo, self.oh_t))
         if not exact:
             return _mm(table_t.astype(jnp.bfloat16), self.oh_t)
         hi, lo = _split_hi_lo(table_t)
