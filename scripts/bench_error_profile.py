@@ -31,12 +31,14 @@ from send_slam_tpu.utils.synth import SyntheticWorld
 
 def main():
     n_frames = int(os.environ.get("SLAM_BENCH_FRAMES", "90"))
-    # SLAM_WORLD_SEED: vary the rendered world. REQUIRED for TPU
-    # A/Bs between code changes: the axon relay serves CACHED outputs
-    # for repeated (same-input) dispatches EVEN AFTER THE COMPILED
-    # PROGRAM CHANGES (measured round 4: an exact-vs-bf16 BA assembly
-    # change produced a bit-identical 90-frame run until the world
-    # seed moved). Pair every A/B at a fresh seed.
+    # SLAM_WORLD_SEED: vary the rendered world. Single-seed results
+    # are basin samples (CPU seed-23 run: ATE 0.25 with a perfectly
+    # healthy map); sweep seeds before calling a knob a win. Note a
+    # byte-identical rerun after a code change means the change did
+    # not reach the compiled program (round 4: XLA's dot-add rewrite
+    # silently folded the hi+lo exact splits back to bf16 — see
+    # ops/segsum._sum_passes), NOT that the backend caches results:
+    # a two-process changed-program probe returned fresh outputs.
     seed = int(os.environ.get("SLAM_WORLD_SEED", "11"))
     print(f"# world seed: {seed}")
     world = SyntheticWorld(n_points=900, width=640, height=480,

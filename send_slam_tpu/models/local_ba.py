@@ -396,11 +396,22 @@ def _prune_obs(kf_obs, obs_valid, chi2, pz, prune, chi2_prune_mult,
     return jnp.where(jnp.asarray(prune) & healthy & bad_obs, -1, kf_obs)
 
 
+def _robust_cost(ru, rv, inv_sigma2, mask, pz, huber_delta):
+    """Total Huber-robustified reprojection cost of a window state —
+    the LM acceptance metric. (W, N) planes in, scalar out."""
+    chi2 = (ru * ru + rv * rv) * inv_sigma2
+    d2 = huber_delta * huber_delta
+    rho = jnp.where(
+        chi2 <= d2, chi2,
+        2.0 * huber_delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2)
+    return jnp.sum(jnp.where(mask & (pz > 1e-3), rho, 0.0))
+
+
 def _ba_small(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx, inv_sigma2,
               pose_free, iters, lam_at, huber_delta, fx, fy, cx, cy,
               prune, chi2_prune_mult, W, N, ML, kf_ok, gid, MK):
     """Single-block path: one ObsMap built once, reused every
-    iteration; carried observation positions advance by cheap bf16
+    iteration; carried observation positions advance by exact
     delta gathers."""
     om = ObsMap(jnp.where(obs_valid, lm_idx, ML).reshape(-1), ML)
 
@@ -414,7 +425,7 @@ def _ba_small(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx, inv_sigma2,
         x = X_t[0].reshape(W, N)
         y = X_t[1].reshape(W, N)
         zw = X_t[2].reshape(W, N)
-        ru, rv, wgt, Jp_u, Jp_v, Jt_u, Jt_v, _pz = _obs_terms(
+        ru, rv, wgt, Jp_u, Jp_v, Jt_u, Jt_v, pz0 = _obs_terms(
             kf_R, kf_t, kf_uv, inv_sigma2, obs_valid,
             x, y, zw, fx, fy, cx, cy, huber_delta)
         H_pp, b_p, acc_t, H_pl = _block_assembly(
@@ -426,13 +437,36 @@ def _ba_small(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx, inv_sigma2,
 
         dR, dt = jax.vmap(se3_exp)(delta_p)
         kf_R_new, kf_t_new = jax.vmap(se3_compose)(dR, dt, kf_R, kf_t)
-        # The carried observation positions advance by an EXACT
-        # (hi+lo) gather of the delta: bf16 step rounding compounds
-        # across iterations along the weakly-curved gauge directions
-        # (same failure mode as the assembly — see _block_assembly).
-        # The delta table is (3, ML); the second pass costs ~0.1 ms.
+        # Exact (hi+lo) delta gather: bf16 step rounding compounds
+        # across iterations along the weakly-curved gauge directions.
         X_t_new = X_t + om.gather_t(delta_lt, exact=True)
-        return (kf_R_new, kf_t_new, lm_pos + delta_l, X_t_new), None
+
+        # Levenberg-Marquardt step ACCEPTANCE (g2o semantics): keep the
+        # candidate only if the robust cost does not increase. A near-
+        # singular reduced camera system (weakly-anchored monocular
+        # scale, low-parallax window) can emit a divergent step that
+        # throws the whole window — round-4 TPU forensics caught a
+        # single insert-burst iteration inflating the map extent 29x
+        # and losing the session. A rejected slice wastes one
+        # iteration; an accepted divergence destroys the map.
+        c0 = _robust_cost(ru, rv, inv_sigma2, obs_valid, pz0, huber_delta)
+        x2 = X_t_new[0].reshape(W, N)
+        y2 = X_t_new[1].reshape(W, N)
+        zw2 = X_t_new[2].reshape(W, N)
+        px2, py2, pz2 = _final_residuals(
+            kf_R_new, kf_t_new, kf_uv, inv_sigma2, x2, y2, zw2)
+        z2 = jnp.maximum(pz2, 1e-6)
+        ru2 = fx * px2 / z2 + cx - kf_uv[..., 0]
+        rv2 = fy * py2 / z2 + cy - kf_uv[..., 1]
+        c1 = _robust_cost(ru2, rv2, inv_sigma2, obs_valid, pz2,
+                          huber_delta)
+        ok = c1 <= c0
+
+        def sel(new, old):
+            return jnp.where(ok, new, old)
+
+        return (sel(kf_R_new, kf_R), sel(kf_t_new, kf_t),
+                sel(lm_pos + delta_l, lm_pos), sel(X_t_new, X_t)), None
 
     X_t0 = om.gather_t(m.lm_pos.T, full=True)    # f32-faithful; (3, R)
     (kf_R, kf_t, lm_pos, X_t), _ = jax.lax.scan(
@@ -488,6 +522,31 @@ def _ba_chunked(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx,
         nobs_body, jnp.zeros((ML,), jnp.float32), ch)
     lm_free = (n_obs >= 2.0) & m.lm_valid
 
+    def cost_scan(kf_R, kf_t, lm_pos):
+        """Total robust cost of a (chunked) window state."""
+        lm_pos_t = lm_pos.T
+
+        def body(acc, inp):
+            om_b = ObsMap(jnp.where(inp["obs_valid"], inp["lm_idx"],
+                                    ML).reshape(-1), ML)
+            X_tb = om_b.gather_t(lm_pos_t, full=True)
+            x = X_tb[0].reshape(Wc, N)
+            y = X_tb[1].reshape(Wc, N)
+            zw = X_tb[2].reshape(Wc, N)
+            px, py, pz = _final_residuals(
+                inp["kf_R"], inp["kf_t"], inp["kf_uv"],
+                inp["inv_sigma2"], x, y, zw)
+            z = jnp.maximum(pz, 1e-6)
+            ru = fx * px / z + cx - inp["kf_uv"][..., 0]
+            rv = fy * py / z + cy - inp["kf_uv"][..., 1]
+            c = _robust_cost(ru, rv, inp["inv_sigma2"],
+                             inp["obs_valid"], pz, huber_delta)
+            return acc + c, None
+
+        inp = dict(ch, kf_R=chunk_arrays(kf_R), kf_t=chunk_arrays(kf_t))
+        total, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), inp)
+        return total
+
     def ba_iter(carry, it):
         lam_it = lam_at(it)
         kf_R, kf_t, lm_pos = carry
@@ -504,16 +563,22 @@ def _ba_chunked(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx,
             x = X_tb[0].reshape(Wc, N)
             y = X_tb[1].reshape(Wc, N)
             zw = X_tb[2].reshape(Wc, N)
-            ru, rv, wgt, Jp_u, Jp_v, Jt_u, Jt_v, _pz = _obs_terms(
+            ru, rv, wgt, Jp_u, Jp_v, Jt_u, Jt_v, pz0 = _obs_terms(
                 R_b, t_b, inp["kf_uv"], inp["inv_sigma2"],
                 inp["obs_valid"], x, y, zw, fx, fy, cx, cy, huber_delta)
             H_pp_b, b_p_b, acc_t_b, H_pl_b = _block_assembly(
                 om_b, ru, rv, wgt, Jp_u, Jp_v, Jt_u, Jt_v)
-            return acc + acc_t_b, (H_pp_b, b_p_b, H_pl_b)
+            c0_b = _robust_cost(ru, rv, inp["inv_sigma2"],
+                                inp["obs_valid"], pz0, huber_delta)
+            acc_t_sum, c0_sum = acc
+            return (acc_t_sum + acc_t_b, c0_sum + c0_b), \
+                (H_pp_b, b_p_b, H_pl_b)
 
         inp = dict(ch, i=jnp.arange(C), kf_R=kf_R_ch, kf_t=kf_t_ch)
-        acc_t, (H_pp_st, b_p_st, H_pl_st) = jax.lax.scan(
-            chunk_body, jnp.zeros((12, ML), jnp.float32), inp)
+        (acc_t, c0), (H_pp_st, b_p_st, H_pl_st) = jax.lax.scan(
+            chunk_body,
+            (jnp.zeros((12, ML), jnp.float32), jnp.zeros((), jnp.float32)),
+            inp)
         H_pp = H_pp_st.reshape(W, 6, 6)
         b_p = b_p_st.reshape(W, 6)
         H_pl = H_pl_st.reshape(W, 6, 3, ML)
@@ -522,7 +587,16 @@ def _ba_chunked(m, kf_R, kf_t, kf_uv, kf_obs, obs_valid, lm_idx,
 
         dR, dt = jax.vmap(se3_exp)(delta_p)
         kf_R_new, kf_t_new = jax.vmap(se3_compose)(dR, dt, kf_R, kf_t)
-        return (kf_R_new, kf_t_new, lm_pos + delta_lt.T), None
+        lm_pos_new = lm_pos + delta_lt.T
+        # LM step acceptance — same divergent-solve guard as _ba_small.
+        c1 = cost_scan(kf_R_new, kf_t_new, lm_pos_new)
+        ok = c1 <= c0
+
+        def sel(new, old):
+            return jnp.where(ok, new, old)
+
+        return (sel(kf_R_new, kf_R), sel(kf_t_new, kf_t),
+                sel(lm_pos_new, lm_pos)), None
 
     (kf_R, kf_t, lm_pos), _ = jax.lax.scan(
         ba_iter, (kf_R, kf_t, m.lm_pos), jnp.arange(iters))

@@ -22,11 +22,15 @@ transposes are cheap, big-array transposes are not.
 
 Exactness: the one-hot is exactly representable in bf16, so a bf16
 one-hot times an f32 operand SPLIT as hi+lo (two bf16 matmuls, f32
-accumulation) reproduces f32 gather/scatter to ~2^-16 relative — used
-where BA needs full precision (landmark positions). Plain bf16 operand
-rounding (~0.4% relative) is used for Hessian/gradient block
-accumulation, where Gauss-Newton only needs a descent direction and
-Levenberg damping absorbs the noise.
+accumulation, ~2^-16 relative) or hi+mid+lo (three passes, f32-faithful
+~2^-24) reproduces f32 gather/scatter. The BA engine uses the exact
+forms for Hessian/gradient assembly and the three-pass form for state
+(landmark position) gathers: plain bf16 rounding there is NOT absorbed
+by Levenberg damping — it random-walks the window's weakly-anchored
+monocular-scale gauge (round-4 forensics: 2-70x map-scale wander).
+The partial products MUST be summed through _sum_passes: a plain
+dot+dot add gets algebraically rewritten by XLA into a single bf16
+dot, silently discarding the low parts.
 """
 
 from __future__ import annotations
@@ -79,6 +83,24 @@ def _mm(a16: jnp.ndarray, b16: jnp.ndarray) -> jnp.ndarray:
         preferred_element_type=jnp.float32)
 
 
+def _sum_passes(parts):
+    """Sum multi-pass split matmul results WITHOUT letting XLA's
+    algebraic simplifier merge them. dot(A, hi) + dot(A, lo) is exactly
+    the pattern the dot-add rewrite folds into dot(A, hi + lo) — and
+    the operand add happens in bf16, which rounds `lo` away entirely,
+    silently turning the two-pass exact split back into single-pass
+    bf16. (Observed in-graph round 4: exact-split BA assembly inside
+    the jitted frame_step produced results byte-identical to the bf16
+    path, while the same split in a standalone jit differed as
+    expected — whether the rewrite fires depends on the surrounding
+    graph.) An optimization_barrier between the partial products pins
+    the f32 accumulation."""
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = jax.lax.optimization_barrier(acc) + p
+    return acc
+
+
 class ObsMap:
     """A fixed map of R observation rows onto L segment slots.
 
@@ -113,7 +135,7 @@ class ObsMap:
         if not exact:
             return _mm(self.oh_t, values.astype(jnp.bfloat16))
         hi, lo = _split_hi_lo(values)
-        return _mm(self.oh_t, hi) + _mm(self.oh_t, lo)
+        return _sum_passes([_mm(self.oh_t, hi), _mm(self.oh_t, lo)])
 
     def seg_sum_batched(self, values: jnp.ndarray,
                         exact: bool = False,
@@ -147,7 +169,7 @@ class ObsMap:
         if not exact:
             return ein(values.astype(jnp.bfloat16))
         hi, lo = _split_hi_lo(values)
-        return ein(hi) + ein(lo)
+        return _sum_passes([ein(hi), ein(lo)])
 
     def seg_sum_t(self, values_t: jnp.ndarray,
                   exact: bool = False) -> jnp.ndarray:
@@ -167,7 +189,7 @@ class ObsMap:
         if not exact:
             return mm(values_t.astype(jnp.bfloat16))
         hi, lo = _split_hi_lo(values_t)
-        return mm(hi) + mm(lo)
+        return _sum_passes([mm(hi), mm(lo)])
 
     def seg_sum_batched_t(self, values: jnp.ndarray,
                           exact: bool = False) -> jnp.ndarray:
@@ -192,7 +214,7 @@ class ObsMap:
         if not exact:
             return ein(values.astype(jnp.bfloat16))
         hi, lo = _split_hi_lo(values)
-        return ein(hi) + ein(lo)
+        return _sum_passes([ein(hi), ein(lo)])
 
     # -- gathers -------------------------------------------------------
 
@@ -211,7 +233,8 @@ class ObsMap:
         if not exact:
             return _mm(table.T.astype(jnp.bfloat16), self.oh_t).T
         hi, lo = _split_hi_lo(table.T)                  # (D, L), small
-        out_t = _mm(hi, self.oh_t) + _mm(lo, self.oh_t)  # (D, R)
+        out_t = _sum_passes([_mm(hi, self.oh_t),
+                             _mm(lo, self.oh_t)])       # (D, R)
         return out_t.T                                   # (R, D) small-minor
 
     def gather_t(self, table_t: jnp.ndarray,
@@ -227,9 +250,9 @@ class ObsMap:
             return jnp.where(self._ok[None, :], out, 0.0)
         if full:
             hi, mid, lo = _split3(table_t)
-            return (_mm(hi, self.oh_t) + _mm(mid, self.oh_t)
-                    + _mm(lo, self.oh_t))
+            return _sum_passes([_mm(hi, self.oh_t), _mm(mid, self.oh_t),
+                                _mm(lo, self.oh_t)])
         if not exact:
             return _mm(table_t.astype(jnp.bfloat16), self.oh_t)
         hi, lo = _split_hi_lo(table_t)
-        return _mm(hi, self.oh_t) + _mm(lo, self.oh_t)
+        return _sum_passes([_mm(hi, self.oh_t), _mm(lo, self.oh_t)])
