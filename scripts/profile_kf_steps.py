@@ -176,7 +176,8 @@ def main():
     time_chained("loop_candidate", loopc, m3, n=8)
     key = jax.random.PRNGKey(0)
     def loops3(mm):
-        loop = sys_._loop_sim3(mm, kf_id, jnp.asarray(0, jnp.int32), key)
+        loop = sys_._loop_sim3(mm, kf_id,
+                               jnp.zeros((3,), jnp.int32), key)
         leaf = jax.tree_util.tree_leaves(loop)[0]
         return mm._replace(
             kf_t=mm.kf_t + 0.0 * jnp.ravel(leaf)[0].astype(jnp.float32))

@@ -165,7 +165,12 @@ class TrackingConfig:
     # mature map points (lm_vote_count >= min(3, n_kf) observations,
     # ORB-SLAM3's Tracking::NeedNewKeyFrame nRefMatches =
     # TrackedMapPoints(minObs) on the reference KF) — a map property
-    # that noise dips cannot re-anchor.
+    # that noise dips cannot re-anchor. Round-4 A/B on the exact-
+    # numerics build: CPU bench scenario 0.022/0.0019 ON vs
+    # 0.041/0.0027 OFF, TPU 0.0243 vs 0.0272 — but the textured-room
+    # e2e regressed 0.23 -> 0.304 (bar 0.30) with ON. All deltas are
+    # basin-level; the suite bar is the regression detector, so the
+    # default stays OFF until ON wins beyond basin noise.
     kf_ref_map: bool = False
     # Which earlier keyframes (slots back from the new one) new-point
     # triangulation pairs against. On forward-marching scenes the most
