@@ -124,6 +124,83 @@ class TestMultiCamFullSemantics:
         assert np.asarray(state.maps.n_kf).max() >= 2
 
     @pytest.mark.slow
+    def test_long_multilane_accuracy_past_capacity(self):
+        """Long multi-lane ACCURACY scenario (VERDICT r2 item 5 done
+        criteria + CLAUDE.md round-5 item 4): 8 lanes sweep ~3x their
+        keyframe capacity, so every lane exercises the in-lane force-
+        cull + compaction lifecycle AND the LM-acceptance-guarded BA
+        (local_ba._ba_small runs inside multicam_slam_step) at scale.
+        Liveness alone is not enough — each lane's streamed trajectory
+        must stay metrically sane (per-lane Sim3-aligned ATE), which is
+        exactly what an accepted divergent BA step would destroy."""
+        from send_slam_tpu.io.evaluate import ate_rmse
+        from send_slam_tpu.utils.synth import SyntheticWorld
+
+        n = len(jax.devices())
+        cfg = EngineConfig(
+            orb=OrbConfig(n_features=256, n_levels=3),
+            camera=CameraConfig(width=160, height=120, fx=130.0,
+                                fy=130.0, cx=80.0, cy=60.0),
+            map=MapConfig(max_keyframes=8, max_landmarks=1024,
+                          ba_window=4),
+            tracking=TrackingConfig(init_min_matches=30,
+                                    kf_min_interval=1, kf_max_interval=2),
+        )
+        world = SyntheticWorld(n_points=700, width=160, height=120,
+                               fx=130.0, fy=130.0)
+        mesh = make_mesh(n, ("cam",))
+        state = init_multicam(cfg, n)
+        step = multicam_slam_step(cfg, mesh)
+
+        key = jax.random.PRNGKey(7)
+        n_steps = 50
+        gt = [[] for _ in range(n)]     # (ts, c) ground truth
+        est = [[] for _ in range(n)]    # (ts, twc) while TRACKING
+        summary = None
+        for s in range(n_steps):
+            a = s / (n_steps - 1)
+            x = 1.4 * (1 - abs(2 * a - 1))          # out and back
+            imgs, cs = [], []
+            for lane in range(n):
+                R = np.eye(3)
+                c = np.array([0.3 * lane - 1.2 + x, 0.0, 0.0])
+                imgs.append(world.render(R, -R @ c))
+                cs.append(c)
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, summary = step(
+                state, jnp.asarray(np.stack(imgs), jnp.float32),
+                jnp.full((n,), float(s), jnp.float32), keys)
+            srow = np.asarray(summary)
+            for lane in range(n):
+                gt[lane].append((float(s), cs[lane]))
+                if int(srow[lane, 0]) == MODE_TRACKING:
+                    est[lane].append((float(s), srow[lane, 4:7].copy()))
+        summary = np.asarray(summary)
+        modes = summary[:, 0].astype(int)
+        kf_total = summary[:, 8].astype(int)
+        n_kf_live = np.asarray(state.maps.n_kf)
+        # Every lane still tracking at the end.
+        assert (modes == MODE_TRACKING).all(), summary
+        # Lanes inserted WELL past table capacity (lifecycle recycles
+        # slots) while the live table stayed bounded.
+        MK = cfg.map.max_keyframes
+        assert (kf_total >= 2 * MK).all(), kf_total
+        assert (n_kf_live <= MK).all(), n_kf_live
+        # Per-lane metric accuracy: Sim3-aligned streamed ATE. The
+        # sweep is ~2.8 m of path at 160x120/256 features; a healthy
+        # lane lands well under 0.15 m, an accepted divergent BA step
+        # or a capacity-pressure map collapse lands at 0.5+.
+        for lane in range(n):
+            assert len(est[lane]) >= n_steps // 2, (lane, len(est[lane]))
+            ets = np.array([e[0] for e in est[lane]])
+            epos = np.stack([e[1] for e in est[lane]])
+            gts = np.array([g[0] for g in gt[lane]])
+            gpos = np.stack([g[1] for g in gt[lane]])
+            ate = ate_rmse(ets, epos, gts, gpos)
+            assert ate < 0.25, (lane, ate)
+
+    @pytest.mark.slow
     def test_per_lane_loop_closing(self):
         """Per-lane in-graph loop closure (VERDICT r2 missing #5 tail):
         every lane drives an out-and-back sweep; on the revisit the
