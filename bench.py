@@ -15,7 +15,13 @@ orbslam3_mono_networked.cc:618-624). BASELINE.md codifies this as
 ">= 30 fps on 1x TPU v5e" with no published reference numbers to beat.
 
 Env knobs: SLAM_BENCH_FRAMES (default 90), SLAM_BENCH_WARMUP (default
-15), SLAM_BENCH_CPU=1 forces the CPU backend (smoke-testing).
+15), SLAM_BENCH_CPU=1 forces the CPU backend (smoke-testing),
+SLAM_WORLD_SEED (default 11) picks the rendered world,
+SLAM_BENCH_SWEEP_SEEDS="23,42,71,..." additionally replays the scenario
+on each listed seed (reusing the compiled programs) and reports the
+ATE DISTRIBUTION (median/worst) in the JSON — per the repo's own
+doctrine that single-seed ATE is a basin sample, the distribution is
+the official accuracy number.
 """
 
 from __future__ import annotations
@@ -84,11 +90,24 @@ def main() -> None:
     from send_slam_tpu.models.system import System
     from send_slam_tpu.utils.synth import SyntheticWorld
 
-    n_frames = int(os.environ.get("SLAM_BENCH_FRAMES", "90"))
+    # SLAM_BENCH_LONG=1: the flagship-capacity long session — 1000
+    # frames over a multi-lap trajectory at the PRODUCTION capacities
+    # (max_keyframes=256, max_landmarks=16384), with loop closures,
+    # keyframe culling and table compaction active. Proves the
+    # unbounded-session axis (VERDICT r3 next-round #2), not just the
+    # 90-frame sprint.
+    long_mode = os.environ.get("SLAM_BENCH_LONG") == "1"
+    n_frames = int(os.environ.get("SLAM_BENCH_FRAMES",
+                                  "1000" if long_mode else "90"))
     warmup = int(os.environ.get("SLAM_BENCH_WARMUP", "15"))
+    seed = int(os.environ.get("SLAM_WORLD_SEED", "11"))
+    laps = float(os.environ.get("SLAM_BENCH_LAPS", "6"))
 
-    world = SyntheticWorld(n_points=900, width=640, height=480,
-                           fx=520.0, fy=520.0)
+    def make_world(s):
+        return SyntheticWorld(n_points=900, width=640, height=480,
+                              fx=520.0, fy=520.0, seed=s)
+
+    world = make_world(seed)
     depth = int(os.environ.get("SLAM_BENCH_PIPELINE_DEPTH", "6"))
     stretch = int(os.environ.get("SLAM_BENCH_PIPELINE_STRETCH", "2"))
     # Diagnostic overrides: SLAM_TR_<tracking_field>=value.
@@ -119,18 +138,62 @@ def main() -> None:
             orb_kwargs[name] = _cast(otypes[name], v)
             print(f"# override orb.{name} = {orb_kwargs[name]}",
                   file=sys.stderr)
+    map_cfg = (MapConfig()  # flagship defaults: 256 KF / 16384 LM
+               if long_mode else
+               MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8))
     cfg = EngineConfig(
         orb=OrbConfig(**orb_kwargs),
         camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
                             cx=320.0, cy=240.0),
-        map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
+        map=map_cfg,
         tracking=TrackingConfig(**tr_kwargs),
     )
-    ts, Rs, tls = world.trajectory(n_frames=n_frames)
-    # uint8 frames: what a real camera delivers, and 4x less
-    # host->device transfer than f32 (the engine converts on device).
-    frames = [np.round(world.render(Rs[k], tls[k])).astype(np.uint8)
-              for k in range(n_frames)]
+    def render_seq(w):
+        if long_mode:
+            ts, Rs, tls = w.trajectory_laps(n_frames=n_frames, laps=laps)
+        else:
+            ts, Rs, tls = w.trajectory(n_frames=n_frames)
+        # uint8 frames: what a real camera delivers, and 4x less
+        # host->device transfer than f32 (the engine converts on device).
+        frames = [np.round(w.render(Rs[k], tls[k])).astype(np.uint8)
+                  for k in range(n_frames)]
+        return ts, Rs, tls, frames
+
+    ts, Rs, tls, frames = render_seq(world)
+
+    def run_seq(sys_, ts, Rs, tls, frames):
+        """Track one rendered sequence; return the per-run stats."""
+        t_track = []
+        est_ts, est_pos = [], []
+        states = []
+        inl_series = []
+        n_ok = 0
+        t_first_ok = None
+        t_seq0 = time.perf_counter()
+        for k in range(n_frames):
+            t0 = time.perf_counter()
+            out = sys_.track_monocular(frames[k], float(ts[k]))
+            dt = time.perf_counter() - t0
+            states.append(out.tracking_state)
+            inl_series.append(out.n_inliers)
+            if k >= warmup:
+                t_track.append(dt)
+            if out.tracking_state == 2:
+                n_ok += 1
+                if t_first_ok is None:
+                    t_first_ok = time.perf_counter() - t_seq0
+                est_ts.append(out.timestamp)
+                est_pos.append(out.position)
+        gt_pos = [-R.T @ t for R, t in zip(Rs, tls)]
+        ate = (ate_rmse(est_ts, np.asarray(est_pos), ts, np.asarray(gt_pos))
+               if len(est_pos) >= 3 else float("inf"))
+        sys_._flush_pipeline()
+        kts, kpos, _ = sys_.keyframe_poses()
+        ate_kf = (ate_rmse(kts, kpos, ts, np.asarray(gt_pos))
+                  if len(kts) >= 3 else float("inf"))
+        return dict(t_track=t_track, states=states, inl=inl_series,
+                    n_ok=n_ok, t_first_ok=t_first_ok, ate=ate,
+                    ate_kf=ate_kf)
 
     sys_ = System(cfg)
     t0_compile = time.perf_counter()
@@ -151,50 +214,44 @@ def main() -> None:
             else:
                 time.sleep(90)
     t_compile = time.perf_counter() - t0_compile
-    t_track = []
-    est_ts, est_pos = [], []
-    states = []
-    inl_series = []
-    n_ok = 0
-    t_first_ok = None
-    t_seq0 = time.perf_counter()
-    for k in range(n_frames):
-        t0 = time.perf_counter()
-        out = sys_.track_monocular(frames[k], float(ts[k]))
-        dt = time.perf_counter() - t0
-        states.append(out.tracking_state)
-        inl_series.append(out.n_inliers)
-        if k >= warmup:
-            t_track.append(dt)
-        if out.tracking_state == 2:
-            n_ok += 1
-            if t_first_ok is None:
-                t_first_ok = time.perf_counter() - t_seq0
-            est_ts.append(out.timestamp)
-            est_pos.append(out.position)
+    run = run_seq(sys_, ts, Rs, tls, frames)
+    t_track, states = run["t_track"], run["states"]
+    n_ok, t_first_ok = run["n_ok"], run["t_first_ok"]
+    # Streamed per-frame ATE keeps every pose's historical drift;
+    # ate_kf is the TUM-benchmark convention (reference:
+    # orbslam3_mono_networked.cc saves the KEYFRAME trajectory at
+    # shutdown): ATE of the BA-corrected keyframe poses.
+    ate, ate_kf = run["ate"], run["ate_kf"]
 
     print("# state timeline:       "
           + "".join(str(s) for s in states), file=sys.stderr)
     if os.environ.get("SLAM_BENCH_VERBOSE") == "1":
         # Per-frame inlier counts (lagged summaries) — the decay
         # leading into a tracking loss is the diagnostic.
-        print("# inliers: " + " ".join(str(i) for i in inl_series),
+        print("# inliers: " + " ".join(str(i) for i in run["inl"]),
               file=sys.stderr)
     med = float(np.median(t_track)) if t_track else float("inf")
     mean = float(np.mean(t_track)) if t_track else float("inf")
     fps = 1.0 / mean if mean > 0 else 0.0
 
-    gt_pos = [-R.T @ t for R, t in zip(Rs, tls)]
-    ate = (ate_rmse(est_ts, np.asarray(est_pos), ts, np.asarray(gt_pos))
-           if len(est_pos) >= 3 else float("inf"))
-    # TUM-benchmark convention (reference: orbslam3_mono_networked.cc
-    # saves the KEYFRAME trajectory at shutdown): ATE of the
-    # BA-corrected keyframe poses. The streamed per-frame ATE above
-    # keeps every pose's historical drift.
-    sys_._flush_pipeline()
-    kts, kpos, _ = sys_.keyframe_poses()
-    ate_kf = (ate_rmse(kts, kpos, ts, np.asarray(gt_pos))
-              if len(kts) >= 3 else float("inf"))
+    # Optional seed sweep: replay the exact scenario on more worlds,
+    # reusing the compiled programs (reset clears the map; the atlas
+    # must not leak frozen maps across worlds).
+    sweep_env = os.environ.get("SLAM_BENCH_SWEEP_SEEDS", "")
+    sweep_seeds = [int(s) for s in sweep_env.split(",") if s.strip()]
+    ate_by_seed = {seed: (ate, ate_kf)}
+    for s in sweep_seeds:
+        if s == seed:
+            continue
+        w = make_world(s)
+        ts_s, Rs_s, tls_s, frames_s = render_seq(w)
+        sys_.reset()
+        sys_.atlas.clear()
+        r = run_seq(sys_, ts_s, Rs_s, tls_s, frames_s)
+        ate_by_seed[s] = (r["ate"], r["ate_kf"])
+        print(f"# sweep seed {s:4d}: ATE {r['ate']:.4f} m, "
+              f"kf {r['ate_kf']:.4f} m, tracked {r['n_ok']}/{n_frames}",
+              file=sys.stderr)
 
     # Shutdown stats like the reference backend (…cc:656-664).
     print(f"# warmup compile time:  {t_compile:.1f} s", file=sys.stderr)
@@ -216,12 +273,53 @@ def main() -> None:
     print(f"# backend: {jax.default_backend()} {jax.devices()[0].device_kind}",
           file=sys.stderr)
 
-    print(json.dumps({
-        "metric": "tracked_fps_640x480_mono",
+    record = {
+        "metric": ("tracked_fps_640x480_mono_long" if long_mode
+                   else "tracked_fps_640x480_mono"),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / 30.0, 3),
-    }))
+        # Accuracy + latency context (VERDICT r3 weak items 5 and 8):
+        # fps alone hides init latency and single-seed basin luck.
+        "ate_m": round(ate, 4),
+        "ate_kf_m": round(ate_kf, 4),
+        "tracked": f"{n_ok}/{n_frames}",
+        "median_ms": round(med * 1e3, 2),
+        "mean_ms": round(mean * 1e3, 2),
+        "warmup_s": round(t_compile, 1),
+        "time_to_first_track_s":
+            round(-1.0 if t_first_ok is None else t_first_ok, 2),
+        "world_seed": seed,
+    }
+    if long_mode:
+        # Capacity-event evidence: the fps number is only meaningful
+        # if the session actually exercised culling/compaction/loops.
+        applied = sum(1 for a in sys_.loop_attempts
+                      if len(a) > 3 and a[3] == "applied")
+        tt = np.asarray(t_track)
+        record.update({
+            "kf_inserted_total": sys_._n_kf_host,
+            "kf_slots_used": sys_._slots_used,
+            "kf_capacity": cfg.map.max_keyframes,
+            "lm_capacity": cfg.map.max_landmarks,
+            "loops_applied": applied,
+            "loop_attempts": len(sys_.loop_attempts),
+            "p99_ms": round(float(np.percentile(tt, 99)) * 1e3, 2)
+                      if len(tt) else -1.0,
+            "max_ms": round(float(tt.max()) * 1e3, 2) if len(tt) else -1.0,
+        })
+    if len(ate_by_seed) > 1:
+        ates = sorted(v[0] for v in ate_by_seed.values())
+        kfs = sorted(v[1] for v in ate_by_seed.values())
+        record.update({
+            "ate_seeds": {str(k): [round(a, 4), round(b, 4)]
+                          for k, (a, b) in ate_by_seed.items()},
+            "ate_median_m": round(float(np.median(ates)), 4),
+            "ate_worst_m": round(ates[-1], 4),
+            "ate_kf_median_m": round(float(np.median(kfs)), 4),
+            "ate_kf_worst_m": round(kfs[-1], 4),
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -104,36 +104,72 @@ def main():
     ML = cfg.map.max_landmarks
     eye = jnp.eye(3, dtype=jnp.float32)
 
-    # Full insert step: pose = newest KF's pose (a plausible insert),
-    # varying frame per call, chained on the map.
-    k_img = [0]
-    idx = jnp.arange(ML, dtype=jnp.int32) % N
-    inl = jnp.zeros((ML,), bool)
+    # Production-shaped observations: run the real tracking step on the
+    # built map (as System does right before an insert) and use ITS
+    # match_idx / inlier mask — an all-False mask would profile maximal
+    # triangulation candidates and an empty fuse workload instead of
+    # the production data distribution.
+    from send_slam_tpu.models.tracking import track_frame
 
     @jax.jit
-    def full_insert(mm, fr):
+    def obs_for(mm, fr):
         newest = jnp.clip(mm.n_kf - 1, 0, mm.max_keyframes - 1)
+        res = track_frame(
+            mm.kf_R[newest], mm.kf_t[newest],
+            mm.lm_pos, mm.lm_desc, mm.lm_valid,
+            fr.uv_und, fr.feat.desc, fr.feat.valid, fr.feat.octave,
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
+            tr, scale_factor=orb.scale_factor, n_levels=orb.n_levels)
+        return (res.R, res.t, res.matches.idx,
+                res.matches.valid & res.inlier, res.n_inliers)
+
+    obs = [obs_for(m, fr) for fr in frs]
+    print(f"insert workload: {int(np.asarray(obs[0][4]))} tracked inliers "
+          f"on frame 0", flush=True)
+
+    # Full insert step: pose + observations from the real track result,
+    # varying frame per call, chained on the map.
+    k_img = [0]
+
+    @jax.jit
+    def full_insert(mm, R, t, idx, inl, fr):
         m2, kf_id, n_new = insert_keyframe_with_triangulation(
-            mm, mm.kf_R[newest], mm.kf_t[newest], fr, idx, inl, K, tr,
+            mm, R, t, fr, idx, inl, K, tr,
             scale_factor=orb.scale_factor, n_levels=orb.n_levels,
             triangulate_backs=tr.triangulate_backs)
         return m2
 
     def fstep(mm):
         k_img[0] += 1
-        return full_insert(mm, frs[k_img[0] % len(frs)])
+        j = k_img[0] % len(frs)
+        R, t, idx, inl, _ = obs[j]
+        return full_insert(mm, R, t, idx, inl, frs[j])
     time_chained("insert_full(3 refs+fuse)", fstep, m, n=8)
 
     # --- parts ------------------------------------------------------
-    time_chained("cull_landmarks",
-                 jax.jit(lambda mm: cull_landmarks(mm)[0]), m, n=8)
+    # Each part is idempotent on a settled map, so a naive chain would
+    # run iterations 2..n on byte-identical inputs — exactly what the
+    # axon relay caches. Perturb a cheap input leaf per call (visible/
+    # found counters or the target keyframe) so every timed execution
+    # sees fresh bytes.
+    k_it = [0]
+
+    @jax.jit
+    def cull_step(mm, k):
+        mm = mm._replace(lm_visible=mm.lm_visible + (k % 2))
+        return cull_landmarks(mm)[0]
+
+    def cstep(mm):
+        k_it[0] += 1
+        return cull_step(mm, jnp.asarray(k_it[0] % 2, jnp.int32))
+    time_chained("cull_landmarks", cstep, m, n=8)
 
     @jax.jit
     def ins_refresh(mm, fr):
-        obs = jnp.full((N,), -1, jnp.int32)
+        obs_row = jnp.full((N,), -1, jnp.int32)
         m2, kf_id = insert_keyframe(
             mm, eye, jnp.zeros(3, jnp.float32), fr.timestamp, fr.uv_und,
-            fr.feat.desc, fr.feat.octave, fr.feat.valid, obs)
+            fr.feat.desc, fr.feat.octave, fr.feat.valid, obs_row)
         return refresh_landmarks(m2, kf_id)
 
     k_img[0] = 0
@@ -143,26 +179,39 @@ def main():
     time_chained("insert_kf+refresh", rstep, m, n=8)
 
     @jax.jit
-    def tri_one(mm):
+    def tri_one(mm, back):
         newest = jnp.clip(mm.n_kf - 1, 0, mm.max_keyframes - 1)
         m2, n = create_new_landmarks(
-            mm, newest, jnp.maximum(newest - 1, 0), K, tr,
+            mm, newest, jnp.maximum(newest - back, 0), K, tr,
             scale_factor=orb.scale_factor, n_levels=orb.n_levels)
         return m2
-    time_chained("create_new_landmarks(x1)", tri_one, m, n=8)
+
+    def tstep(mm):
+        k_it[0] += 1
+        return tri_one(mm, jnp.asarray(1 + k_it[0] % 2, jnp.int32))
+    time_chained("create_new_landmarks(x1)", tstep, m, n=8)
 
     @jax.jit
-    def fuse_one(mm):
+    def fuse_one(mm, k):
+        mm = mm._replace(lm_found=mm.lm_found + (k % 2))
         newest = jnp.clip(mm.n_kf - 1, 0, mm.max_keyframes - 1)
         m2, n = fuse_duplicate_landmarks(mm, newest, K, tr)
         return m2
-    time_chained("fuse_duplicates", fuse_one, m, n=8)
+
+    def fustep(mm):
+        k_it[0] += 1
+        return fuse_one(mm, jnp.asarray(k_it[0] % 2, jnp.int32))
+    time_chained("fuse_duplicates", fustep, m, n=8)
 
     @jax.jit
-    def refresh_only(mm):
+    def refresh_only(mm, back):
         newest = jnp.clip(mm.n_kf - 1, 0, mm.max_keyframes - 1)
-        return refresh_landmarks(mm, newest)
-    time_chained("refresh_landmarks", refresh_only, m, n=8)
+        return refresh_landmarks(mm, jnp.maximum(newest - back, 0))
+
+    def restep(mm):
+        k_it[0] += 1
+        return refresh_only(mm, jnp.asarray(k_it[0] % 2, jnp.int32))
+    time_chained("refresh_landmarks", restep, m, n=8)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ from __future__ import annotations
 import asyncio
 import logging
 import os
+import time
 from typing import Optional
 
 import numpy as np
@@ -58,12 +59,49 @@ def _decode_frame(pkt: dict) -> Optional[np.ndarray]:
     return img
 
 
+def _image_scale(pkt: dict) -> float:
+    """Image scale factor, mirroring ORB_SLAM3's Camera.imageScale /
+    ``System::GetImageScale()`` that the reference adapter honors
+    (…cc:512,556-580). Sources: the calibration packet's camera dict
+    (``image_scale``) or the ``SLAM_IMAGE_SCALE`` env override."""
+    env = os.environ.get("SLAM_IMAGE_SCALE")
+    if env:
+        return float(env)
+    return float(pkt.get("camera", {}).get("image_scale", 1.0))
+
+
+def _resize_gray(gray: np.ndarray, scale: float) -> np.ndarray:
+    """Bilinear resize at the ingestion edge (reference: cv::resize,
+    …cc:565-567). cv2 when available, numpy bilinear fallback."""
+    h, w = gray.shape
+    nw, nh = int(w * scale), int(h * scale)
+    try:
+        import cv2
+        return cv2.resize(gray, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    except ImportError:
+        ys = (np.arange(nh) + 0.5) / scale - 0.5
+        xs = (np.arange(nw) + 0.5) / scale - 0.5
+        y0 = np.clip(np.floor(ys).astype(int), 0, h - 2)
+        x0 = np.clip(np.floor(xs).astype(int), 0, w - 2)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        g = gray.astype(np.float32)
+        out = (g[y0][:, x0] * (1 - fy) * (1 - fx)
+               + g[y0][:, x0 + 1] * (1 - fy) * fx
+               + g[y0 + 1][:, x0] * fy * (1 - fx)
+               + g[y0 + 1][:, x0 + 1] * fy * fx)
+        return out.astype(gray.dtype)
+
+
 def _config_from_calibration(pkt: dict) -> EngineConfig:
     cam = pkt["camera"]
+    s = _image_scale(pkt)
+    # ORB_SLAM3's Settings scales intrinsics by imageScale internally;
+    # the engine sees the resized geometry.
     return EngineConfig(camera=CameraConfig(
-        width=int(cam["width"]), height=int(cam["height"]),
-        fx=float(cam["fx"]), fy=float(cam["fy"]),
-        cx=float(cam["cx"]), cy=float(cam["cy"]),
+        width=int(int(cam["width"]) * s), height=int(int(cam["height"]) * s),
+        fx=float(cam["fx"]) * s, fy=float(cam["fy"]) * s,
+        cx=float(cam["cx"]) * s, cy=float(cam["cy"]) * s,
         k1=float(cam.get("k1", 0.0)), k2=float(cam.get("k2", 0.0)),
         p1=float(cam.get("p1", 0.0)), p2=float(cam.get("p2", 0.0)),
         k3=float(cam.get("k3", 0.0)), fps=float(cam.get("fps", 30.0)),
@@ -80,6 +118,14 @@ class BackendClient:
         # config from the received calibration packet.
         self._config_factory = config_factory or _config_from_calibration
         self.frames_seen = 0
+        self.image_scale = 1.0
+        # Per-frame tracking times, for the shutdown stats print
+        # (reference vTimesTrack, …cc:618,656-667).
+        self.track_times: list = []
+        # Where SaveKeyFrameTrajectoryTUM lands on terminate
+        # (…cc:670); None disables the dump.
+        self.trajectory_path: Optional[str] = os.environ.get(
+            "SLAM_KF_TRAJECTORY_PATH", "KeyFrameTrajectory.txt")
 
     async def run(self) -> None:
         reader, writer = await asyncio.open_connection(self.host, self.port)
@@ -94,6 +140,26 @@ class BackendClient:
             log.info("host connection lost; shutting down")
         finally:
             writer.close()
+            self._shutdown_report()
+
+    def _shutdown_report(self) -> None:
+        """The reference backend's terminate tail (…cc:653-671): sorted
+        median/mean tracking time to stdout + TUM keyframe trajectory."""
+        if self.system is None:
+            return
+        self.system.shutdown()
+        if self.track_times:
+            times = sorted(self.track_times)
+            print("-------")
+            print(f"Frames processed: {len(times)}")
+            print(f"median tracking time: {times[len(times) // 2]}")
+            print(f"mean tracking time: {sum(times) / len(times)}")
+        else:
+            print("No frames processed.")
+        if self.trajectory_path:
+            with open(self.trajectory_path, "w") as f:
+                f.write(self.system.keyframe_trajectory_tum())
+            log.info("keyframe trajectory saved to %s", self.trajectory_path)
 
     async def _serve(self, reader, writer, dec, loop) -> None:
         try:
@@ -111,6 +177,8 @@ class BackendClient:
                         # reconstructs ORB_SLAM3::System the same way,
                         # discarding the old map (…cc:477-519).
                         self.system = System(self._config_factory(pkt))
+                        self.image_scale = _image_scale(pkt)
+                        self.track_times = []
                         if os.environ.get("SLAM_SKIP_WARMUP") != "1":
                             await loop.run_in_executor(
                                 None, lambda: self.system.warmup(
@@ -122,10 +190,16 @@ class BackendClient:
                         gray = _decode_frame(pkt)
                         if gray is None:
                             continue
+                        t0 = time.perf_counter()
+                        if self.image_scale != 1.0:
+                            gray = _resize_gray(gray, self.image_scale)
                         out = await loop.run_in_executor(
                             None, self.system.track_monocular,
                             gray.astype(np.float32),
                             float(pkt.get("timestamp", 0.0)))
+                        # resize + track, like the reference's t_track
+                        # (…cc:593-618 ttrack incl. the resize window).
+                        self.track_times.append(time.perf_counter() - t0)
                         if out.tracking_state == TRACKING_OK:
                             pose = build_pose_packet(
                                 float(pkt.get("timestamp", 0.0)),

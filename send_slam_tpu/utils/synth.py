@@ -94,6 +94,30 @@ class SyntheticWorld:
             tls.append(t)
         return np.asarray(ts), Rs, tls
 
+    def trajectory_laps(self, n_frames=1000, fps=30.0, laps=4.0):
+        """Multi-lap version of the bench arc for LONG sessions: the
+        arc parameter sweeps 0 -> 1 -> 0 smoothly (cosine profile, no
+        velocity discontinuity at the turnarounds) ``laps`` times.
+        Every return pass revisits mapped territory — loop-closure,
+        keyframe-culling and map-compaction events at a realistic
+        cadence, the unbounded-map axis the reference handles with
+        dynamic structures (SURVEY §5 long-context)."""
+        from scipy.spatial.transform import Rotation
+        ts, Rs, tls = [], [], []
+        for k in range(n_frames):
+            ph = laps * k / max(n_frames - 1, 1)
+            a = 0.5 - 0.5 * np.cos(2 * np.pi * ph)
+            c = np.array([1.6 * a, 0.15 * np.sin(2 * np.pi * a),
+                          0.3 * a])
+            yaw = -0.12 * a
+            Rwc = Rotation.from_euler("y", yaw).as_matrix()
+            R = Rwc.T
+            t = -R @ c
+            ts.append(k / fps)
+            Rs.append(R)
+            tls.append(t)
+        return np.asarray(ts), Rs, tls
+
 
 def _value_noise_texture(size: int, rng: np.random.Generator,
                          octaves=(4, 8, 16, 32, 64, 128)) -> np.ndarray:
@@ -132,7 +156,8 @@ class TexturedWorld:
     def __init__(self, seed=3, width=640, height=480,
                  fx=520.0, fy=520.0, tex_size=768, depth=8.0,
                  half_w=5.0, half_h=3.5, noise_sigma=0.0,
-                 gain_jitter=0.0, blur_sigma=0.0):
+                 gain_jitter=0.0, blur_sigma=0.0,
+                 vignette=0.0, occluder=0.0):
         rng = np.random.default_rng(seed)
         self.W, self.H = width, height
         self.fx, self.fy = fx, fy
@@ -145,6 +170,17 @@ class TexturedWorld:
         self.noise_sigma = noise_sigma
         self.gain_jitter = gain_jitter
         self.blur_sigma = blur_sigma
+        # Lens vignetting: relative intensity falloff at the image
+        # corners (0 = off, 0.4 = corners 40% darker — typical cheap
+        # optics). Static per session, like a real lens.
+        self.vignette = vignette
+        # Transient occluder: a featureless panel (a person / door
+        # crossing the view) sweeping through the frame, covering
+        # ``occluder`` of the image width. It crosses on a slow cycle,
+        # fully absent between crossings — tracking must survive the
+        # feature dropout and re-acquire (rolling occlusion schedule).
+        self.occluder = occluder
+        self._frame_no = 0
         self._log_gain = 0.0
         self._rng = rng
         self.tex = [_value_noise_texture(tex_size, rng) for _ in range(5)]
@@ -219,6 +255,27 @@ class TexturedWorld:
             img[idx] = self._sample(tex, a[inb], b[inb], x1, x2)
             best_s[idx] = s[idx]
         img = img.reshape(self.H, self.W)
+        if self.occluder > 0:
+            # One crossing every 120 frames: the panel's center sweeps
+            # x from -w/2 to W+w/2 over 40 frames, then absent for 80.
+            ph = self._frame_no % 120
+            if ph < 40:
+                w_occ = self.occluder * self.W
+                cx_occ = (ph / 39.0) * (self.W + w_occ) - w_occ / 2
+                x0 = max(0, int(cx_occ - w_occ / 2))
+                x1 = min(self.W, int(cx_occ + w_occ / 2))
+                if x1 > x0:
+                    # Near-featureless: flat with faint large-scale
+                    # shading so it contributes no stable corners.
+                    ramp = np.linspace(88.0, 112.0, x1 - x0,
+                                       dtype=np.float32)
+                    img[:, x0:x1] = ramp[None, :]
+        self._frame_no += 1
+        if self.vignette > 0:
+            yy, xx = np.mgrid[0:self.H, 0:self.W].astype(np.float32)
+            r2 = (((xx - self.cx) / self.cx) ** 2
+                  + ((yy - self.cy) / self.cy) ** 2) / 2.0
+            img = img * (1.0 - self.vignette * r2)
         if self.blur_sigma > 0:
             from scipy.ndimage import gaussian_filter
             img = gaussian_filter(img, self.blur_sigma)
@@ -234,3 +291,7 @@ class TexturedWorld:
 
     def trajectory(self, n_frames=40, fps=30.0):
         return SyntheticWorld.trajectory(self, n_frames=n_frames, fps=fps)
+
+    def trajectory_laps(self, n_frames=1000, fps=30.0, laps=4.0):
+        return SyntheticWorld.trajectory_laps(
+            self, n_frames=n_frames, fps=fps, laps=laps)
