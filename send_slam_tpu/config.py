@@ -232,6 +232,51 @@ class TrackingConfig:
     # counts (see initializer.py acceptance note).
     init_min_good_frac: float = 0.08
     init_min_parallax_deg: float = 0.8
+    # Where the score's parallax discount SATURATES, as a multiple of
+    # init_min_parallax_deg. KEEP AT 1.25: the round-4 A/B of 3.0
+    # (prefer 2x-wider pairs during probation) REGRESSED the 10-seed
+    # CPU sweep across the board (seed 17: 0.008 -> 0.344, 23: 0.037 ->
+    # 0.128, 29: 0.085 -> 0.186) — support dominates E-matrix accuracy
+    # and rewarding extra baseline picks pairs whose matching already
+    # degraded (same conclusion as the round-3 94-vs-72-point A/B).
+    # The low-parallax collapse tail is handled downstream by the
+    # young-map scale-collapse detector (init_collapse_* below), not
+    # by biasing pair selection.
+    init_par_saturation: float = 1.25
+    # Symmetric-transfer-error discount floor for the init score
+    # (1.0 = discount disabled). Untested in isolation; enable only
+    # with a fresh 10-seed sweep on both backends.
+    init_err_floor: float = 1.0
+    # Young-map scale-collapse detector (the round-4 sweep's tail
+    # mechanism, seeds 71/104: a rotation-ambiguous init reconstructs
+    # a baseline/depth ratio 5-15x small; tracking then "succeeds" on
+    # the rotten structure with healthy inlier counts while the
+    # estimated trajectory runs 13-80x slower than the init baseline
+    # implied — stream alignment scale 91/556 vs healthy ~7). ONE
+    # check, on the FIRST window_s of streamed motion after commit:
+    # ratio(streamed velocity / init-pair baseline velocity) under
+    # init_collapse_frac -> discard the young map and re-initialize
+    # (ORB-SLAM-style young-map reset, extended to the case where
+    # tracking does NOT fail). Single-shot because later windows are
+    # unreliable (healthy runs drift to ~0.33 and one healthy init_v
+    # was 6x overestimated). First-window ratio tracks run quality
+    # monotonically in every measured run: >= 0.8 -> clean (ATE
+    # 0.014-0.054), <= 0.31 -> mediocre-to-bad (0.17-0.38), < 0.07 ->
+    # catastrophic. The costs are asymmetric — a false reset re-rolls
+    # the init for ~20 frames, a false accept costs 0.2-0.4 ATE for
+    # the whole session — so the threshold sits mid-gap at 0.45. A
+    # camera that brakes >2x within the first half second after init
+    # pays one spurious re-init; set frac=0 to disable.
+    # While the probe is pending the engine HOLDS pose emission (the
+    # caller sees "initializing"; ~window_s x fps frames once per
+    # session, flushed into the trajectory on pass): emitting poses
+    # that a failed probe would retract leaves the consumer a segment
+    # in a dead map's gauge, which measured WORSE on stream ATE than
+    # not resetting at all.
+    init_collapse_frac: float = 0.45
+    init_collapse_window_s: float = 0.2
+    init_collapse_horizon_s: float = 1.5
+    init_collapse_max_resets: int = 3
     # Triangulation baseline floor (LocalMapping's new-landmark gate):
     # maximum cosine of the ray parallax between the two triangulating
     # views (0.99995 ~= 0.573 deg minimum parallax). Expressed as the

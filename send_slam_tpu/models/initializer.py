@@ -39,14 +39,17 @@ class InitResult(NamedTuple):
     matches: Matches           # A->B descriptor matches used
     n_good: jnp.ndarray        # () int32
     # Quality score for multi-pair selection (System._try_initialize):
-    # support, discounted only when the median parallax sits right at
-    # the acceptance minimum (saturates at 1.25x). Support is the
-    # dominant downstream-quality signal — the E-matrix accuracy that
-    # epipolar-gated triangulation depends on tracks n_good, and a
-    # measured 94-point pair beat a 72-point wider-baseline pair by 6x
-    # e2e ATE. Rewarding excess baseline picks pairs whose matching
-    # already degraded.
-    score: jnp.ndarray         # () f32 = n_good * min(par/1.25*par_min, 1)
+    # support x parallax discount x symmetric-error discount. Support
+    # is the dominant downstream-quality signal (the E-matrix accuracy
+    # that epipolar-gated triangulation depends on tracks n_good; a
+    # 94-point pair beat a 72-point wider-baseline pair by 6x e2e ATE
+    # — rewarding EXCESS baseline picks pairs whose matching already
+    # degraded). The parallax discount saturates at
+    # cfg.init_par_saturation x the acceptance minimum: wide enough
+    # that the rotation-ambiguous ~1-deg pairs (the round-4 sweep's
+    # worst-tail mechanism) cannot strong-commit over a comparable-
+    # support pair a few frames wider.
+    score: jnp.ndarray         # () f32 = n_good * par_disc * err_disc
 
 
 def _sample_minimal_sets(key, valid, n_hyp: int, k: int):
@@ -108,7 +111,10 @@ def _score_motion(R, t, K, x1, x2, valid, reproj_th2, min_parallax_cos):
     good = (valid & finite & (z1 > 0) & (z2 > 0)
             & (e1 < reproj_th2) & (e2 < reproj_th2)
             & (cos_par < min_parallax_cos))
-    return X, good, cos_par
+    # Symmetric transfer error per point (px^2, both views) — feeds
+    # the multi-pair quality score: equal-support pairs are separated
+    # by how tightly the reconstruction explains the measurements.
+    return X, good, cos_par, e1 + e2
 
 
 def two_view_init(
@@ -164,12 +170,12 @@ def two_view_init(
 
     def score_E(E, support):
         Rs, ts = _decompose_essential(E)
-        Xs, goods, cps = jax.vmap(
+        Xs, goods, cps, errs = jax.vmap(
             lambda R, t: _score_motion(R, t, K, x1, x2, support,
                                        reproj_th2, min_parallax_cos))(Rs, ts)
-        return Rs, ts, Xs, goods, cps
+        return Rs, ts, Xs, goods, cps, errs
 
-    Rs_j, ts_j, Xs_j, goods_j, cps_j = jax.vmap(
+    Rs_j, ts_j, Xs_j, goods_j, cps_j, _errs_j = jax.vmap(
         lambda h: score_E(Es[h], inl[h]))(top_h)         # (J,4,...)
     counts_j = jnp.sum(goods_j, axis=2)                  # (J,4)
     bi_flat = jnp.argmax(counts_j.reshape(-1))
@@ -180,7 +186,7 @@ def two_view_init(
     seed_good = goods_j.reshape(TOP_J * 4, -1)[bi_flat]
     E = eight_point_essential(x1n, x2n, weights=seed_good.astype(x1.dtype))
     f_inl = (sampson_error(E, x1n, x2n) < th2) & mvalid
-    Rs4, ts4, Xs4, goods4, cps4 = score_E(E, f_inl)
+    Rs4, ts4, Xs4, goods4, cps4, errs4 = score_E(E, f_inl)
     counts4 = jnp.sum(goods4, axis=1)                    # (4,)
     bi = jnp.argmax(counts4)
     n_good_E = counts4[bi]
@@ -202,7 +208,7 @@ def two_view_init(
     Hbest = homography_dlt(x1, x2, weights=h_inl[h_best].astype(x1.dtype))
     h_inl_best = (homography_error(Hbest, x1, x2) < h_th2) & mvalid
     R8, t8 = decompose_homography(Hbest, K)
-    Xs8, goods8, cps8 = jax.vmap(
+    Xs8, goods8, cps8, errs8 = jax.vmap(
         lambda R, t: _score_motion(R, t, K, x1, x2, h_inl_best,
                                    reproj_th2, min_parallax_cos))(R8, t8)
     counts8 = jnp.sum(goods8, axis=1)                     # (8,)
@@ -220,6 +226,7 @@ def two_view_init(
     X = jnp.where(use_H, Xs8[bi_h], Xs4[bi])
     point_ok = jnp.where(use_H, goods8[bi_h], goods4[bi])
     cos_par_best = jnp.where(use_H, cps8[bi_h], cps4[bi])  # (N,)
+    sym_err_best = jnp.where(use_H, errs8[bi_h], errs4[bi])  # (N,) px^2
 
     # Median parallax of accepted points: initializing from a
     # too-small baseline bakes in garbage depths (ORB-SLAM's
@@ -255,8 +262,19 @@ def two_view_init(
     t = t * scale
 
     par_factor = jnp.clip(
-        jnp.nan_to_num(med_parallax) / jnp.maximum(1.25 * min_par, 1e-6),
+        jnp.nan_to_num(med_parallax)
+        / jnp.maximum(cfg.init_par_saturation * min_par, 1e-6),
         0.0, 1.0)
-    score = n_good.astype(jnp.float32) * par_factor
+    # Symmetric-transfer-error discount: among equal-support pairs,
+    # prefer the reconstruction whose accepted points fit tightest.
+    # DISABLED by default (init_err_floor=1.0): the knob shipped in
+    # the same build as the regressive par-saturation A/B and has not
+    # been measured in isolation; enable only with a fresh 10-seed
+    # sweep. med err is px^2 over both views; a clean init sits well
+    # under 2 px^2, a marginal one near the 4*3.841 threshold.
+    med_err = jnp.nanmedian(jnp.where(point_ok, sym_err_best, jnp.nan))
+    err_factor = jnp.clip(1.15 - jnp.nan_to_num(med_err) / (4.0 * 3.841),
+                          cfg.init_err_floor, 1.0)
+    score = n_good.astype(jnp.float32) * par_factor * err_factor
     return InitResult(ok=ok, R=R, t=t, points=X, point_ok=point_ok,
                       matches=m, n_good=n_good, score=score)

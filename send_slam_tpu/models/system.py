@@ -538,6 +538,19 @@ class System:
         self._fetch_pool = ThreadPoolExecutor(
             max_workers=4, thread_name_prefix="slam-fetch")
 
+        # Survives reset(): the collapse detector must not loop forever
+        # on a world whose inits keep committing badly.
+        self._collapse_resets = 0
+
+        # Warmup tail readiness (see warmup()): set = every program is
+        # compiled (or warmup was never called — lazy compiles, the
+        # old behavior). The host checks it before dispatching the
+        # rarely-hit programs so a still-compiling tail cannot stall
+        # the frame loop.
+        import threading
+        self._tail_ready = threading.Event()
+        self._tail_ready.set()
+
         self.reset()
 
     # ------------------------------------------------------------------
@@ -557,9 +570,16 @@ class System:
                                cfg.map.max_keyframes, jnp.int32),
             weak_run=jnp.asarray(0, jnp.int32))
 
-    def warmup(self, image_dtype=np.uint8) -> None:
+    def warmup(self, image_dtype=np.uint8, block: bool = False) -> None:
         """Compile every jitted program the runtime can hit — one dummy
         call each — so no XLA compilation lands mid-sequence.
+
+        Returns once the CRITICAL set (frame loop + init/bootstrap +
+        per-KF maintenance) is compiled; the rarely-hit tail (polish,
+        loop closing, relocalization) continues on a background daemon
+        thread and the host gates those dispatches on readiness.
+        ``block=True`` (or SLAM_WARMUP_BLOCK=1) waits for everything,
+        like the pre-round-4 behavior.
 
         The reference pays its analogous cost (vocabulary load + ORB
         pyramid allocations) inside System's constructor before the
@@ -578,6 +598,8 @@ class System:
         rng = np.random.default_rng(0)
         key = jax.random.PRNGKey(0)
         verbose = os.environ.get("SLAM_WARMUP_VERBOSE") == "1"
+        block = block or verbose   # sequential timings need ordering
+        self._tail_ready.clear()
         _t = [time.perf_counter()]
 
         def tick(name, out):
@@ -606,69 +628,58 @@ class System:
         m = tick("bootstrap_map",
                  self._bootstrap_map(self.map, frame, frame, init_res))
 
-        # Every post-bootstrap program takes only (MapState, LoopState,
-        # scalars) whose SHAPES are fixed — compile-wise they all
-        # depend on `m` alone, so the compiles can proceed in parallel
-        # threads (XLA releases the GIL while compiling; on the remote
-        # axon backend the compile RPCs overlap server-side). The
-        # round-3 serial warmup was 754 s for ~14 programs — the chains
-        # below bound the critical path by the LARGEST program instead
-        # of the SUM (VERDICT r3 next-round #3). SLAM_WARMUP_SERIAL=1
-        # restores the serial order (with per-program timings under
-        # SLAM_WARMUP_VERBOSE=1).
+        # CRITICAL SET vs TAIL (VERDICT r3 next-round #3, measured cold
+        # on the axon TPU): the frame loop only needs make_frame /
+        # init_step / bootstrap_map / frame_step / maintain_step
+        # (~212 s of the 351 s serial total). The remaining programs
+        # (wide/global polish, cull/compact, loop closing, reloc —
+        # ~140 s) are not touched until tens of frames in, so they
+        # compile on a BACKGROUND daemon thread while tracking runs;
+        # the host gates their dispatch on tail_ready() so a slow tail
+        # can never stall the frame loop mid-compile. (A fully
+        # parallel 6-thread warmup was MEASURED SLOWER than serial on
+        # the remote backend — 662 s vs 351 s cold — GIL-bound tracing
+        # plus compile-service queuing; so both phases run serially.)
         st = self._fresh_loop_state()
-        lam = jnp.asarray(1e-3, jnp.float32)
-        pr = jnp.asarray(False)
-        kf_id = jnp.asarray(1, jnp.int32)
+        m2, st2, summary = tick("frame_step", self._frame_step(
+            m, st, img_raw, 1.0, jnp.asarray(False)))
+        m3 = tick("maintain_step", self._maintain_step(m2))
 
-        def chain_frame():
-            m2, st2, summary = tick("frame_step", self._frame_step(
-                m, st, img_raw, 1.0, jnp.asarray(False)))
-            m3 = tick("maintain_step", self._maintain_step(m2))
-            return summary
-
-        def chain_wide():
-            m3, dR, dt, big = tick("wide_slice",
-                                   self._wide_slice(m, lam, pr))
+        def warm_tail():
+            lam = jnp.asarray(1e-3, jnp.float32)
+            pr = jnp.asarray(False)
+            kf_id = jnp.asarray(1, jnp.int32)
+            m3w, dR, dt, big = tick("wide_slice",
+                                    self._wide_slice(m, lam, pr))
             _st3 = tick("rebase_st_cond",
                         self._rebase_st_cond(st, dR, dt, big))
-            return m3
-
-        def chain_global():
             m3g, _dR, _dt, _big = tick("global_slice",
                                        self._global_slice(m, lam, pr))
-            return m3g
-
-        def chain_maint():
             _mf, _nc = tick("forced_cull", self._forced_cull_step(m))
             _mc, _nv = tick("compact", self._compact_step(m))
             _ids = tick("covis_window", self._covis_window(m))
-            return _ids
-
-        def chain_loop():
             cands, scores = tick("loop_candidate",
                                  self._loop_candidate(m, kf_id))
             loop, cand_sel = tick("loop_sim3",
                                   self._loop_sim3(m, kf_id, cands, key))
-            m4, _dR, _dt, _mb, _ma = tick(
+            m4, _dRl, _dtl, _mb, _ma = tick(
                 "loop_apply", self._loop_apply(m, kf_id, cand_sel, loop))
-            return m4
+            res_r, _sc = tick("reloc_step",
+                              self._reloc_step(m, frame, key))
+            try:
+                jax.block_until_ready((m4, m3g, _ids, res_r))
+            except Exception:
+                pass
+            self._tail_ready.set()
 
-        def chain_reloc():
-            res_r, _sc = tick("reloc_step", self._reloc_step(m, frame, key))
-            return res_r
-
-        chains = [chain_frame, chain_wide, chain_global, chain_maint,
-                  chain_loop, chain_reloc]
-        if verbose or os.environ.get("SLAM_WARMUP_SERIAL") == "1":
-            outs = [c() for c in chains]
+        if block or os.environ.get("SLAM_WARMUP_BLOCK") == "1":
+            warm_tail()
         else:
-            from concurrent.futures import ThreadPoolExecutor as _TPE
-            with _TPE(max_workers=len(chains)) as pool:
-                outs = list(pool.map(lambda c: c(), chains))
-        summary = outs[0]
+            import threading
+            threading.Thread(target=warm_tail, daemon=True,
+                             name="slam-warm-tail").start()
         try:
-            jax.block_until_ready(tuple(outs))
+            jax.block_until_ready(summary)
         except Exception:
             pass
         # Drain one host fetch of the summary so the first real fetch
@@ -722,6 +733,15 @@ class System:
         # Bench/debug observability (VERDICT r2 item 9): init cost.
         self.init_attempts = 0
         self.init_commit_ts: Optional[float] = None
+        # Young-map scale-collapse detector (TrackingConfig
+        # init_collapse_*): init-pair baseline velocity + the streamed
+        # positions since commit.
+        self._init_v: Optional[float] = None
+        self._collapse_trace: List[tuple] = []
+        self._collapse_active = False
+        # Poses produced while the collapse probe is pending: flushed
+        # into _trajectory on pass, discarded with the map on fail.
+        self._held_outputs: List[tuple] = []
 
     def get_tracking_state(self) -> int:
         return self.state
@@ -758,6 +778,15 @@ class System:
 
         if self.state == TRACKING_OK:
             pos, quat = self._twc()
+            if self._collapse_active:
+                # Fresh commit under a pending collapse probe: hold
+                # (see _process_lagged) — the consumer keeps seeing
+                # "initializing" until the probe passes.
+                self._held_outputs.append((timestamp, pos, quat))
+                out = TrackOutput(TRACKING_NOT_INITIALIZED, None, None,
+                                  self._last_inliers, timestamp)
+                self._last_out = out
+                return out
             self._trajectory.append((timestamp, pos, quat))
             out = TrackOutput(TRACKING_OK, pos, quat,
                               self._last_inliers, timestamp)
@@ -789,8 +818,19 @@ class System:
         self._kf_trajectory.append((ts_ref, eye_p, eye_q))
         ts_cur = t0 + float(np.asarray(cur_frame.timestamp))
         Rwc, twc = se3_inverse(res.R, res.t)
+        twc_np = np.asarray(twc)
         self._kf_trajectory.append(
-            (ts_cur, np.asarray(twc), np.asarray(quat_from_rotmat(Rwc))))
+            (ts_cur, twc_np, np.asarray(quat_from_rotmat(Rwc))))
+        # Arm the young-map scale-collapse detector: the init pair's
+        # baseline velocity in map units/s is the yardstick the
+        # streamed velocity is checked against while the map is young.
+        tr = self.cfg.tracking
+        dt_init = max(timestamp - self._ref_ts, 1.0 / 120.0)
+        self._init_v = float(np.linalg.norm(twc_np)) / dt_init
+        self._collapse_trace = []
+        self._collapse_active = (
+            tr.init_collapse_frac > 0.0
+            and self._collapse_resets < tr.init_collapse_max_resets)
 
     def _try_initialize(self, frame: Frame, timestamp: float) -> None:
         """Scored multi-pair two-view init: acceptable pairs only
@@ -960,11 +1000,69 @@ class System:
         self._lost_frames = 0
         self.state = TRACKING_OK
 
+        # Young-map scale-collapse detector (TrackingConfig
+        # init_collapse_*): a rotation-ambiguous init "tracks" with
+        # healthy inliers while the streamed motion runs 10-80x slower
+        # than the init baseline implied. Compare windowed velocity
+        # against the init-pair baseline velocity while the map is
+        # young; on collapse, discard the young map and re-initialize.
+        # ONE-SHOT, first full window only: later windows are unusable
+        # — measured healthy runs drift to ratio ~0.33 (seed 11) and
+        # one healthy init_v was overestimated 6x (seed 57, third
+        # window 0.17), while collapsed runs sit at 0.02-0.06 from the
+        # VERY FIRST window. While the probe is pending the poses are
+        # HELD, not emitted (the caller sees "initializing"): emitting
+        # and then resetting would leave the consumer a trajectory
+        # segment in a dead map's gauge — the measured cost was a
+        # stream ATE WORSE than not resetting at all (seed 29: 0.085
+        # no-reset -> 0.152 reset-after-emit, with the KF table fixed
+        # 0.286 -> 0.0016 either way). On pass, the held poses flush
+        # into the trajectory; on fail they are discarded with the map.
+        if self._collapse_active and self._init_v:
+            ts_rel = ts - (self._t0 or 0.0)
+            age = ts_rel - (self.init_commit_ts or 0.0)
+            trc = self._collapse_trace
+            trc.append((ts_rel, np.asarray(pos, float)))
+            if age > tr.init_collapse_horizon_s:
+                self._collapse_active = False
+            else:
+                span = ts_rel - trc[0][0]
+                if span >= tr.init_collapse_window_s:
+                    v_est = float(np.linalg.norm(
+                        trc[-1][1] - trc[0][1])) / span
+                    ratio = v_est / max(self._init_v, 1e-9)
+                    self._collapse_active = False
+                    if os.environ.get("SLAM_COLLAPSE_DEBUG") == "1":
+                        print(f"# collapse probe t={ts_rel:.2f} "
+                              f"v_est {v_est:.4f} init_v "
+                              f"{self._init_v:.4f} ratio {ratio:.3f}",
+                              file=sys.stderr, flush=True)
+                    if ratio < tr.init_collapse_frac:
+                        self._collapse_resets += 1
+                        self.reset()
+                        return TrackOutput(self.state, None, None, 0, ts)
+            if not self._collapse_active:
+                # Probe passed (or expired): the held prefix is real.
+                for hts, hpos, hquat in self._held_outputs:
+                    self._trajectory.append((hts, hpos, hquat))
+                self._held_outputs = []
+
         self._maybe_close_loop()
         self._maybe_weld()
         if inserted:
             self._on_keyframe_inserted(kf_slot, n_kf, ts, pos, quat)
         self._maybe_compact(n_kf)
+
+        if self._collapse_active:
+            # Probe still pending: hold this pose (flushed on pass,
+            # discarded with the map on fail) and report the session
+            # as still initializing.
+            self._held_outputs.append((ts, np.asarray(pos),
+                                       np.asarray(quat)))
+            out = TrackOutput(TRACKING_NOT_INITIALIZED, None, None,
+                              n_inl, ts)
+            self._last_out = out
+            return out
 
         self._trajectory.append((ts, pos, quat))
         out = TrackOutput(TRACKING_OK, pos, quat, n_inl, ts,
@@ -1228,7 +1326,8 @@ class System:
         tr = self.cfg.tracking
         if tr.wide_ba_every_kf > 0 \
                 and self._n_kf_host % tr.wide_ba_every_kf == 0 \
-                and not self._polish_queue:
+                and not self._polish_queue \
+                and self._tail_ready.is_set():
             self._enqueue_polish("wide", tr.wide_ba_slices)
 
         # Loop closing: dispatch the candidate retrieval now; its score
@@ -1238,6 +1337,7 @@ class System:
         # (global-BA slices queued) and retrieval against the
         # half-corrected state produces the degenerate-score spree.
         if (kf_slot >= tr.loop_min_gap_kf and self._pending_loop is None
+                and self._tail_ready.is_set()
                 and self._n_kf_host - self._last_loop_nkf
                 >= tr.loop_cooldown_kf):
             kf_dev = jnp.asarray(kf_slot, jnp.int32)

@@ -94,11 +94,20 @@ def match_descriptors(
 
     best_idx = jnp.argmin(d, axis=1).astype(jnp.int32)          # (N,)
     best = jnp.min(d, axis=1)
-    # Second best for the ratio test.
-    d2 = d.at[jnp.arange(d.shape[0]), best_idx].set(INVALID_DIST)
-    second = jnp.min(d2, axis=1)
-
-    ok = (best <= max_dist) & (best < ratio * second)
+    if ratio < 1e6:
+        # Second best for the ratio test. Masking the best entry with
+        # an elementwise compare, NOT d.at[rows, best_idx].set(...):
+        # scatters on an (N, M) matrix lower near-serially on TPU
+        # (CLAUDE.md), and search-by-projection calls disable the
+        # ratio test entirely (ratio=1e9), so the whole second-best
+        # pass is skipped at trace time there.
+        cols = jnp.arange(d.shape[1], dtype=jnp.int32)
+        d2 = jnp.where(cols[None, :] == best_idx[:, None],
+                       INVALID_DIST, d)
+        second = jnp.min(d2, axis=1)
+        ok = (best <= max_dist) & (best < ratio * second)
+    else:
+        ok = best <= max_dist
 
     if mutual:
         back = jnp.argmin(d, axis=0).astype(jnp.int32)          # (M,)

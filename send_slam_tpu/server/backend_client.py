@@ -214,7 +214,6 @@ class BackendClient:
 
 def main() -> None:
     import argparse
-    import os
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int,
