@@ -247,6 +247,7 @@ def main() -> None:
         ts_s, Rs_s, tls_s, frames_s = render_seq(w)
         sys_.reset()
         sys_.atlas.clear()
+        sys_._collapse_resets = 0   # fresh world, fresh reset budget
         r = run_seq(sys_, ts_s, Rs_s, tls_s, frames_s)
         ate_by_seed[s] = (r["ate"], r["ate_kf"])
         print(f"# sweep seed {s:4d}: ATE {r['ate']:.4f} m, "
@@ -297,6 +298,11 @@ def main() -> None:
         applied = sum(1 for a in sys_.loop_attempts
                       if len(a) > 3 and a[3] == "applied")
         tt = np.asarray(t_track)
+        print(f"# loop attempts: {sys_.loop_attempts}", file=sys.stderr)
+        print(f"# loops_closed: {sys_.loops_closed}  welds: "
+              f"{sys_.welds_done}  collapse_resets: "
+              f"{sys_._collapse_resets}  atlas_maps: {len(sys_.atlas)}",
+              file=sys.stderr)
         record.update({
             "kf_inserted_total": sys_._n_kf_host,
             "kf_slots_used": sys_._slots_used,

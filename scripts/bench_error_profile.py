@@ -74,7 +74,13 @@ def main():
         map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
         tracking=TrackingConfig(**tr_kwargs),
     )
-    ts, Rs, tls = world.trajectory(n_frames=n_frames)
+    # SLAM_PROFILE_LAPS=N: use the multi-lap (out-and-back) trajectory
+    # of the long-session bench — revisit/cull/fuse forensics.
+    laps = float(os.environ.get("SLAM_PROFILE_LAPS", "0"))
+    if laps > 0:
+        ts, Rs, tls = world.trajectory_laps(n_frames=n_frames, laps=laps)
+    else:
+        ts, Rs, tls = world.trajectory(n_frames=n_frames)
     frames = [np.round(world.render(Rs[k], tls[k])).astype(np.uint8)
               for k in range(n_frames)]
     gt_pos = np.asarray([-R.T @ t for R, t in zip(Rs, tls)])

@@ -277,6 +277,16 @@ class TrackingConfig:
     init_collapse_window_s: float = 0.2
     init_collapse_horizon_s: float = 1.5
     init_collapse_max_resets: int = 3
+    # Loop-closure robustness on long sessions (flagship lap-session
+    # forensics, round 4): (a) loop probes are not dispatched while
+    # tracking is thin — a Sim3 verified from a starved keyframe's few
+    # garbage matches exploded the map 47x in one apply; (b) the
+    # verified Sim3's scale must sit inside [1/loop_max_scale,
+    # loop_max_scale] — intra-session drift between revisits is far
+    # smaller, and the reprojection sanity gate cannot catch a
+    # near-uniform rescale.
+    loop_min_track_inliers: int = 60
+    loop_max_scale: float = 2.5
     # Triangulation baseline floor (LocalMapping's new-landmark gate):
     # maximum cosine of the ray parallax between the two triangulating
     # views (0.99995 ~= 0.573 deg minimum parallax). Expressed as the

@@ -259,7 +259,8 @@ def insert_keyframe_with_triangulation(
     # Fold the new observations into landmark viewing normals and
     # representative descriptors (MapPoint::UpdateNormalAndDepth +
     # ComputeDistinctiveDescriptors at keyframe rate).
-    m = refresh_landmarks(m, kf_id)
+    m = refresh_landmarks(m, kf_id, scale_factor=scale_factor,
+                          n_levels=n_levels)
     n_new = jnp.asarray(0, jnp.int32)
     backs = (tuple(range(1, n_triangulate_refs + 1))
              if triangulate_backs is None else tuple(triangulate_backs))

@@ -102,7 +102,16 @@ def compute_loop_sim3(
 
     res = sim3_ransac(pa, pc, pair_ok, key)
     n_matches = jnp.sum(pair_ok)
-    ok = res.ok & (n_matches >= min_matches)
+    # Scale band: intra-session monocular drift between revisits stays
+    # well inside [1/loop_max_scale, loop_max_scale]. A RANSAC-verified
+    # Sim3 whose scale escapes the band is geometric garbage from a
+    # starved/degenerate keyframe — the flagship lap session measured
+    # one such closure inflating the whole map 47x in one apply (the
+    # reprojection sanity gate cannot catch it: a near-uniform rescale
+    # reprojects fine).
+    s_ok = (res.s > 1.0 / cfg.loop_max_scale) \
+        & (res.s < cfg.loop_max_scale)
+    ok = res.ok & (n_matches >= min_matches) & s_ok
     return LoopSim3(ok=ok, n_matches=n_matches, sim3=res)
 
 
@@ -205,7 +214,18 @@ def apply_loop_correction(
     # S^-1: x -> (1/s) R^T (x - t)
     X_new = jnp.einsum('lji,lj->li', R_r, p_cam - t_r) / \
         jnp.maximum(s_r[:, None], 1e-9)
-    X_new = jnp.where((m.lm_valid & (m.lm_ref_kf >= 0))[:, None],
-                      X_new, m.lm_pos)
+    corrected = m.lm_valid & (m.lm_ref_kf >= 0)
+    X_new = jnp.where(corrected[:, None], X_new, m.lm_pos)
 
-    return m._replace(kf_R=R_new, kf_t=t_se3, lm_pos=X_new)
+    # The scale-invariance bands live in MAP UNITS and must follow the
+    # correction's local rescale, or tracking's distance gate starts
+    # rejecting mature landmarks wholesale after a few scale-changing
+    # closures — the round-4 flagship lap session's progressive
+    # starvation (found/visible median collapsed to 0.14, inliers
+    # 400 -> 20 over two laps) was exactly this.
+    band_scale = jnp.where(corrected, 1.0 / jnp.maximum(s_r, 1e-9), 1.0)
+    dmin = m.lm_dist_min * band_scale
+    dmax = m.lm_dist_max * band_scale
+
+    return m._replace(kf_R=R_new, kf_t=t_se3, lm_pos=X_new,
+                      lm_dist_min=dmin, lm_dist_max=dmax)

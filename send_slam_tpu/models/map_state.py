@@ -226,19 +226,37 @@ def add_landmarks(
     obs = write_obs(m.kf_obs_lm, kf_a, kp_idx_a)
     obs = write_obs(obs, kf_b, kp_idx_b)
 
+    # NOTE: every computed field must make it into the _replace — a
+    # round-4 audit found normals/scale-bands/bit-votes silently
+    # dropped here, which left ALL triangulated landmarks with
+    # dist_max=0 and therefore permanently exempt from the tracking
+    # view-angle/distance/octave gates (frame-path `has` mask) — the
+    # whole scale-consistency machinery was inert.
     m = m._replace(lm_pos=lm_pos, lm_desc=lm_desc, lm_valid=lm_valid,
                    lm_ref_kf=lm_ref, lm_visible=lm_visible,
-                   lm_found=lm_found, kf_obs_lm=obs)
+                   lm_found=lm_found, kf_obs_lm=obs,
+                   lm_normal=lm_normal, lm_dist_min=lm_dmin,
+                   lm_dist_max=lm_dmax, lm_bit_votes=lm_votes,
+                   lm_vote_count=lm_vcnt)
     return m, lm_id
 
 
-def refresh_landmarks(m: MapState, kf_id: jnp.ndarray) -> MapState:
+def refresh_landmarks(m: MapState, kf_id: jnp.ndarray,
+                      scale_factor: float = 1.2,
+                      n_levels: int = 8) -> MapState:
     """Fold keyframe kf_id's observations into per-landmark viewing
     normals (incremental mean direction — MapPoint::UpdateNormalAndDepth)
     and descriptor bit votes, then re-derive each landmark's
     representative descriptor as the bitwise majority
     (ComputeDistinctiveDescriptors' role: minimize summed Hamming
-    distance to the observations).
+    distance to the observations). Landmarks observed by this keyframe
+    also get their SCALE-INVARIANCE BAND recomputed from the current
+    distance and observation octave — exactly what UpdateNormalAndDepth
+    does. Bands frozen at creation rot as the map's scale moves (BA
+    gauge drift, Sim3 loop corrections): the round-4 flagship lap
+    session starved progressively (found/visible median 0.14) because
+    the tracking distance gate was comparing post-correction distances
+    against creation-time bands.
 
     TPU layout: ``kf_obs_lm`` is a PARTIAL 1-1 MATCHING (each keypoint
     observes <= 1 landmark and each landmark appears <= once per
@@ -284,8 +302,21 @@ def refresh_landmarks(m: MapState, kf_id: jnp.ndarray) -> MapState:
     lm_desc = jnp.where((m.lm_valid & (vcnt > 0))[:, None],
                         new_desc, m.lm_desc)
 
+    # Band refresh from the CURRENT distance + this observation's
+    # octave. The octave rides the same exact one-hot (<=1 term per
+    # landmark; small ints are exact in bf16).
+    oct_row = (oh @ m.kf_octave[kf_id].astype(jnp.bfloat16)) \
+        .astype(jnp.float32)                                    # (ML,)
+    dist = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
+    dmax_new = dist * scale_factor ** oct_row
+    dmin_new = dmax_new / (scale_factor ** (n_levels - 1))
+    upd = has_obs & m.lm_valid & (m.lm_dist_max > 0)
+    dmin = jnp.where(upd, dmin_new, m.lm_dist_min)
+    dmax = jnp.where(upd, dmax_new, m.lm_dist_max)
+
     return m._replace(lm_normal=new_normal, lm_bit_votes=votes,
-                      lm_vote_count=vcnt, lm_desc=lm_desc)
+                      lm_vote_count=vcnt, lm_desc=lm_desc,
+                      lm_dist_min=dmin, lm_dist_max=dmax)
 
 
 def update_landmark_stats(

@@ -664,10 +664,20 @@ class System:
                                   self._loop_sim3(m, kf_id, cands, key))
             m4, _dRl, _dtl, _mb, _ma = tick(
                 "loop_apply", self._loop_apply(m, kf_id, cand_sel, loop))
-            res_r, _sc = tick("reloc_step",
-                              self._reloc_step(m, frame, key))
+            res_r, _sc = tick("reloc_step", self._reloc_step(m, frame, key))
+            # Atlas programs: freeze/weld on prolonged reloc failure
+            # compiles these mid-run otherwise (the flagship long bench
+            # measured multi-second stalls exactly there).
+            _c, _s = tick("atlas_cand",
+                          self._atlas_cand(m, m.kf_signature[0]))
+            aw = tick("atlas_sim3",
+                      self._atlas_sim3(m, m, jnp.asarray(0, jnp.int32),
+                                       jnp.asarray(0, jnp.int32), key))
+            m5, _nk, _nl = tick(
+                "atlas_weld",
+                self._atlas_weld(m, m, aw.sim3.s, aw.sim3.R, aw.sim3.t))
             try:
-                jax.block_until_ready((m4, m3g, _ids, res_r))
+                jax.block_until_ready((m4, m3g, _ids, res_r, m5))
             except Exception:
                 pass
             self._tail_ready.set()
@@ -1043,6 +1053,13 @@ class System:
                         return TrackOutput(self.state, None, None, 0, ts)
             if not self._collapse_active:
                 # Probe passed (or expired): the held prefix is real.
+                # A pass also RE-ARMS the reset budget — the
+                # max_resets bound exists to break infinite reset
+                # loops in a degenerate world, not to disarm the
+                # detector for the rest of a long session (or, when a
+                # harness reuses one System across worlds, for every
+                # later world).
+                self._collapse_resets = 0
                 for hts, hpos, hquat in self._held_outputs:
                     self._trajectory.append((hts, hpos, hquat))
                 self._held_outputs = []
@@ -1338,6 +1355,7 @@ class System:
         # half-corrected state produces the degenerate-score spree.
         if (kf_slot >= tr.loop_min_gap_kf and self._pending_loop is None
                 and self._tail_ready.is_set()
+                and self._last_inliers >= tr.loop_min_track_inliers
                 and self._n_kf_host - self._last_loop_nkf
                 >= tr.loop_cooldown_kf):
             kf_dev = jnp.asarray(kf_slot, jnp.int32)

@@ -179,7 +179,11 @@ class TexturedWorld:
         # ``occluder`` of the image width. It crosses on a slow cycle,
         # fully absent between crossings — tracking must survive the
         # feature dropout and re-acquire (rolling occlusion schedule).
+        # Crossings start at frame ``occluder_start`` so two-view
+        # initialization happens on unobstructed frames (a real
+        # operator also doesn't start mapping behind a person).
         self.occluder = occluder
+        self.occluder_start = 30
         self._frame_no = 0
         self._log_gain = 0.0
         self._rng = rng
@@ -255,10 +259,10 @@ class TexturedWorld:
             img[idx] = self._sample(tex, a[inb], b[inb], x1, x2)
             best_s[idx] = s[idx]
         img = img.reshape(self.H, self.W)
-        if self.occluder > 0:
+        if self.occluder > 0 and self._frame_no >= self.occluder_start:
             # One crossing every 120 frames: the panel's center sweeps
             # x from -w/2 to W+w/2 over 40 frames, then absent for 80.
-            ph = self._frame_no % 120
+            ph = (self._frame_no - self.occluder_start) % 120
             if ph < 40:
                 w_occ = self.occluder * self.W
                 cx_occ = (ph / 39.0) * (self.W + w_occ) - w_occ / 2

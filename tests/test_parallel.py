@@ -258,3 +258,143 @@ class TestMultiCamFullSemantics:
         # at least one lane must have applied a closure in-graph.
         assert (modes == MODE_TRACKING).sum() >= n - 1, summary
         assert loops.max() >= 1, summary
+
+
+class TestMergeConsistency:
+    @pytest.mark.slow
+    def test_post_merge_landmarks_consistent_in_every_lane(self):
+        """Cross-lane shared-map consistency on maps built by REAL
+        tracking (VERDICT r3 next-round #4 tail): 8 lanes track the
+        same world from offset viewpoints, then the ring merge imports
+        each neighbour's landmarks via Sim3. Checks, per lane: (a) the
+        imported landmarks, mapped through the lane's own gauge
+        (Umeyama fit of its streamed trajectory against ground truth),
+        land on TRUE world structure; (b) they reproject inside the
+        lane's current camera in sane numbers; (c) tracking survives
+        the merged table for several further steps."""
+        from scipy.spatial import cKDTree
+        from send_slam_tpu.io.evaluate import umeyama_alignment
+        from send_slam_tpu.parallel.map_merge import multicam_merge_step
+        from send_slam_tpu.utils.synth import SyntheticWorld
+
+        n = len(jax.devices())
+        cfg = EngineConfig(
+            orb=OrbConfig(n_features=256, n_levels=3),
+            camera=CameraConfig(width=160, height=120, fx=130.0,
+                                fy=130.0, cx=80.0, cy=60.0),
+            map=MapConfig(max_keyframes=8, max_landmarks=1024,
+                          ba_window=4),
+            tracking=TrackingConfig(init_min_matches=30,
+                                    kf_max_interval=3),
+        )
+        world = SyntheticWorld(n_points=700, width=160, height=120,
+                               fx=130.0, fy=130.0)
+        mesh = make_mesh(n, ("cam",))
+        state = init_multicam(cfg, n)
+        step = multicam_slam_step(cfg, mesh)
+
+        def lane_center(lane, s):
+            # y/z wiggle breaks collinearity so the per-lane Umeyama
+            # gauge fit is rotationally determined.
+            return np.array([0.35 * lane - 1.2 + 0.12 * s,
+                             0.05 * np.sin(0.7 * s), 0.05 * s])
+
+        key = jax.random.PRNGKey(11)
+        n_steps = 14
+        est = [[] for _ in range(n)]
+        gts = [[] for _ in range(n)]
+        summary = None
+        for s in range(n_steps):
+            imgs = []
+            for lane in range(n):
+                R = np.eye(3)
+                c = lane_center(lane, s)
+                imgs.append(world.render(R, -R @ c))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, summary = step(
+                state, jnp.asarray(np.stack(imgs), jnp.float32),
+                jnp.full((n,), s / 30.0, jnp.float32), keys)
+            srow = np.asarray(summary)
+            for lane in range(n):
+                gts[lane].append(lane_center(lane, s))
+                if int(srow[lane, 0]) == MODE_TRACKING:
+                    est[lane].append((s, srow[lane, 4:7].copy()))
+        summary = np.asarray(summary)
+        assert (summary[:, 0].astype(int) == MODE_TRACKING).all(), summary
+
+        # --- merge ---------------------------------------------------
+        merge = multicam_merge_step(cfg, mesh)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, n)
+        pre_valid = np.asarray(state.maps.lm_valid)
+        maps2, ok, n_imp = merge(state.maps, keys)
+        ok = np.asarray(ok)
+        n_imp = np.asarray(n_imp)
+        print("merge ok:", ok, "imported:", n_imp)
+        # The ring pairs lane 7 with lane 0 — 2.45 m apart, mostly
+        # disjoint views; a Sim3 that refuses that pair is CORRECT
+        # behavior (merging unrelated maps is the failure mode
+        # test_no_import_on_unrelated_maps pins down). Adjacent lanes
+        # (0.35 m apart) must all merge.
+        assert ok.sum() >= n - 1, (ok, n_imp)
+        assert (n_imp[ok] >= 5).all(), n_imp
+
+        # --- consistency: imported landmarks lie on true structure ----
+        tree = cKDTree(world.points)
+        lm_pos = np.asarray(maps2.lm_pos)
+        lm_valid = np.asarray(maps2.lm_valid)
+        meds, fracs = [], []
+        for lane in range(n):
+            if not ok[lane]:
+                continue
+            imported = lm_valid[lane] & ~pre_valid[lane]
+            if imported.sum() == 0:
+                continue
+            e = np.stack([p for _, p in est[lane]])
+            g = np.stack([gts[lane][s] for s, _ in est[lane]])
+            s_l, R_l, t_l = umeyama_alignment(e, g, with_scale=True)
+            world_pred = (s_l * (R_l @ lm_pos[lane][imported].T)).T + t_l
+            d, _ = tree.query(world_pred)
+            meds.append(float(np.median(d)))
+
+            # (b) reprojection into the lane's CURRENT camera: the
+            # imports came from an adjacent viewpoint, so a healthy
+            # fraction must be in front of the camera and in-frame.
+            R_cw = np.asarray(state.R[lane])
+            t_cw = np.asarray(state.t[lane])
+            # state pose is in the LANE's gauge; landmarks too.
+            pc = lm_pos[lane][imported] @ R_cw.T + t_cw
+            z = pc[:, 2]
+            front = z > 0.1
+            u = 130.0 * pc[:, 0] / np.maximum(z, 1e-6) + 80.0
+            v = 130.0 * pc[:, 1] / np.maximum(z, 1e-6) + 60.0
+            infov = front & (u >= -40) & (u < 200) & (v >= -30) & (v < 150)
+            fracs.append(float(infov.mean()))
+            print(f"lane {lane}: imported {int(imported.sum())}, "
+                  f"median dist to true structure {meds[-1]:.3f} m, "
+                  f"in-view fraction {fracs[-1]:.2f}")
+        # Distribution bars (measured: per-lane medians 0.3-0.7 m from
+        # two lanes' stacked triangulation noise at 160x120/256
+        # features + the ring Sim3; a WRONG-gauge import lands 2-5 m).
+        # Scene spans ~12 m with blobs >= 0.5 m apart on average.
+        assert len(meds) >= n - 1
+        assert float(np.median(meds)) < 0.6, meds
+        assert max(meds) < 1.0, meds
+        assert float(np.median(fracs)) > 0.25, fracs
+
+        # --- (c) tracking survives the merged tables ------------------
+        state = state._replace(maps=maps2)
+        for s in range(n_steps, n_steps + 4):
+            imgs = []
+            for lane in range(n):
+                R = np.eye(3)
+                c = lane_center(lane, s)
+                imgs.append(world.render(R, -R @ c))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, summary = step(
+                state, jnp.asarray(np.stack(imgs), jnp.float32),
+                jnp.full((n,), s / 30.0, jnp.float32), keys)
+        summary = np.asarray(summary)
+        assert (summary[:, 0].astype(int) == MODE_TRACKING).all(), summary
