@@ -253,6 +253,10 @@ def main() -> None:
         print(f"# sweep seed {s:4d}: ATE {r['ate']:.4f} m, "
               f"kf {r['ate_kf']:.4f} m, tracked {r['n_ok']}/{n_frames}",
               file=sys.stderr)
+        if os.environ.get("SLAM_BENCH_VERBOSE") == "1":
+            print(f"# seed {s} timeline:    "
+                  + "".join(str(st) for st in r["states"]),
+                  file=sys.stderr)
 
     # Shutdown stats like the reference backend (…cc:656-664).
     print(f"# warmup compile time:  {t_compile:.1f} s", file=sys.stderr)
@@ -295,20 +299,21 @@ def main() -> None:
     if long_mode:
         # Capacity-event evidence: the fps number is only meaningful
         # if the session actually exercised culling/compaction/loops.
-        applied = sum(1 for a in sys_.loop_attempts
-                      if len(a) > 3 and a[3] == "applied")
         tt = np.asarray(t_track)
         print(f"# loop attempts: {sys_.loop_attempts}", file=sys.stderr)
-        print(f"# loops_closed: {sys_.loops_closed}  welds: "
-              f"{sys_.welds_done}  collapse_resets: "
-              f"{sys_._collapse_resets}  atlas_maps: {len(sys_.atlas)}",
+        print(f"# loops_applied: {sys_.session_loops_applied}  welds: "
+              f"{sys_.welds_done}  resets: {sys_.session_resets}  "
+              f"atlas_maps: {len(sys_.atlas)}",
               file=sys.stderr)
         record.update({
-            "kf_inserted_total": sys_._n_kf_host,
+            # Session-cumulative (survive mid-run resets): a long run
+            # that re-initialized must still show its mapping work.
+            "kf_inserted_total": sys_.session_kf_inserted,
             "kf_slots_used": sys_._slots_used,
+            "resets": sys_.session_resets,
             "kf_capacity": cfg.map.max_keyframes,
             "lm_capacity": cfg.map.max_landmarks,
-            "loops_applied": applied,
+            "loops_applied": sys_.session_loops_applied,
             "loop_attempts": len(sys_.loop_attempts),
             "p99_ms": round(float(np.percentile(tt, 99)) * 1e3, 2)
                       if len(tt) else -1.0,

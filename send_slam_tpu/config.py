@@ -110,6 +110,15 @@ class TrackingConfig:
     hamming_th_low: int = 50        # ORB-SLAM3 TH_LOW
     ratio_test: float = 0.9
     search_radius_px: float = 15.0
+    # Octave window of search-by-projection: match keypoints within
+    # +-octave_slack pyramid levels of PredictScale's level. ORB-SLAM
+    # uses +-1 on real imagery; our synthetic-dot octave assignment is
+    # noisy (8-14% of true keyframe associations measured at |dlvl|>=2)
+    # and a gated-out true match mis-binds to a similar dot (no ratio
+    # test on projection windows). Round-4 A/B, 8 m march into new
+    # territory: KF-traj RMS 0.465 m at slack 1 -> 0.039 m at slack 2,
+    # cross-map weld restored.
+    octave_slack: int = 2
     # Motion model: fraction of the frame-to-frame motion extrapolated
     # into the next prediction. 1.0 = classic constant-velocity; the
     # undamped model is a positive-feedback loop (prediction noise ->

@@ -541,6 +541,15 @@ class System:
         # Survives reset(): the collapse detector must not loop forever
         # on a world whose inits keep committing badly.
         self._collapse_resets = 0
+        # Session-cumulative observability (survives reset(), unlike
+        # the per-map mirrors): a long session that resets mid-run must
+        # still report how much mapping work it actually did — the
+        # reference's shutdown stats aggregate the whole process
+        # lifetime (orbslam3_mono_networked.cc:656-671), not the last
+        # map. Bench long-mode reads these.
+        self.session_kf_inserted = 0
+        self.session_resets = -1      # reset() in __init__ brings it to 0
+        self.session_loops_applied = 0
 
         # Warmup tail readiness (see warmup()): set = every program is
         # compiled (or warmup was never called — lazy compiles, the
@@ -701,6 +710,7 @@ class System:
 
     def reset(self) -> None:
         cfg = self.cfg
+        self.session_resets += 1
         self.map: MapState = empty_map(cfg.map, cfg.orb.n_features)
         self.state = TRACKING_NO_IMAGES_YET
         # Session epoch: device timestamps are (t - _t0) so float32
@@ -815,6 +825,7 @@ class System:
         self.state = TRACKING_OK
         self._n_kf_host = 2
         self._slots_used = 2
+        self.session_kf_inserted += 2
         # n_good arrives with the probe bundle (one fetch); falling
         # back to a device read only off the hot path.
         self._last_inliers = (int(n_good) if n_good is not None
@@ -1227,6 +1238,7 @@ class System:
                 self._enqueue_polish("global",
                                      self.cfg.tracking.global_ba_slices)
                 self.loops_closed += 1
+                self.session_loops_applied += 1
                 self._last_loop_nkf = self._n_kf_host
                 # The candidate the multi-candidate verification chose
                 # (may differ from the retrieval-top slot recorded below).
@@ -1252,6 +1264,10 @@ class System:
             self._pending_weld = None
             scores = [float(fut.result()) for _, fut in cands]
             best_i = int(np.argmax(scores))
+            if os.environ.get("SLAM_WELD_DEBUG") == "1":
+                print(f"# weld probe kf={kf_slot} scores={scores} "
+                      f"min={tr.loop_score_min}",
+                      file=sys.stderr, flush=True)
             if scores[best_i] <= tr.loop_score_min:
                 return
             self._key, sub = jax.random.split(self._key)
@@ -1265,6 +1281,11 @@ class System:
         # phase 2: cross-map Sim3 verdict (blocking read)
         best_i, res, ok_fut = self._pending_weld
         self._pending_weld = None
+        if os.environ.get("SLAM_WELD_DEBUG") == "1":
+            print(f"# weld sim3 ok={bool(ok_fut.result())} "
+                  f"n_matches={int(np.asarray(res.n_matches))} "
+                  f"s={float(np.asarray(res.sim3.s)):.3f}",
+                  file=sys.stderr, flush=True)
         if not bool(ok_fut.result()) or best_i >= len(self.atlas):
             return
         frozen = self.atlas[best_i]
@@ -1330,6 +1351,7 @@ class System:
         scheduling, loop-closing probe, atlas weld probe, trajectory
         bookkeeping."""
         self._n_kf_host += 1
+        self.session_kf_inserted += 1
         self._slots_used = n_kf
         self._reloc_boundary_next_kf = False
         self._kf_trajectory.append((ts, np.asarray(pos), np.asarray(quat)))

@@ -213,9 +213,19 @@ def track_frame(
         # SearchByProjection widens by scaleFactors[nPredictedLevel]).
         rad_row = rad * jnp.where(
             has, scale_factor ** lvl.astype(jnp.float32), 1.0)
+        # Octave window: ORB-SLAM gates SearchByProjection to +-1 level
+        # of the predicted scale. On our synthetic worlds the detector's
+        # octave assignment is NOISY (dot features redetect 2-3 levels
+        # off: measured 8-14% of TRUE keyframe associations at
+        # |dlvl|>=2), and with no ratio test the suppressed true match
+        # mis-binds to a similar-texture neighbour — an 8 m march into
+        # new territory rotted to 0.465 m KF RMS at slack 1 and healed
+        # to 0.039 m at slack 2 (weld scenario A/B, round 4). Slack 2
+        # keeps the protective band while tolerating the octave noise.
         window = projection_window_mask(
             uv_pred, kp_uv, rad_row,
-            octave_pred=lvl, octave_kp=kp_octave, octave_gate=has)
+            octave_pred=lvl, octave_kp=kp_octave,
+            octave_slack=cfg.octave_slack, octave_gate=has)
         # NO ratio test here: the projection window is the
         # discriminator (ORBmatcher::SearchByProjection does the same);
         # a ratio test against a map full of similar-texture landmarks
