@@ -30,9 +30,44 @@ from send_slam_tpu.models.system import System
 from send_slam_tpu.utils.synth import SyntheticWorld
 
 
+def _commit_report(world, ts, Rs, tls, fa, fb, res, label=""):
+    """GT quality + commit-time observables of ONE committed init."""
+    ka = int(round(float(np.asarray(fa.timestamp)) * 30))
+    kb = int(round(float(np.asarray(fb.timestamp)) * 30))
+    R_gt = Rs[kb] @ Rs[ka].T
+    t_gt = np.asarray(tls[kb]) - R_gt @ np.asarray(tls[ka])
+    t_gt_dir = t_gt / np.linalg.norm(t_gt)
+    R_est = np.asarray(res.R)
+    t_est = np.asarray(res.t)
+    t_dir = t_est / max(np.linalg.norm(t_est), 1e-12)
+    rot_err = np.degrees(np.arccos(np.clip(
+        (np.trace(R_est @ R_gt.T) - 1) / 2, -1, 1)))
+    t_err = np.degrees(np.arccos(np.clip(abs(t_dir @ t_gt_dir), -1, 1)))
+
+    # Commit-time observables (no GT): accepted-point parallax and
+    # the normalized baseline (init_v numerator).
+    pok = np.asarray(res.point_ok)
+    X = np.asarray(res.points)[pok]
+    C1 = -(R_est.T @ t_est)
+    r0 = X
+    r1 = X - C1[None]
+    cosp = np.sum(r0 * r1, -1) / np.maximum(
+        np.linalg.norm(r0, axis=-1) * np.linalg.norm(r1, axis=-1), 1e-12)
+    par_deg = np.degrees(np.arccos(np.clip(cosp, -1, 1)))
+    z = X[:, 2]
+    print(f"{label}frames {ka}->{kb}: rot {rot_err:6.2f} deg  "
+          f"t-dir {t_err:6.2f} deg  n_good {int(res.n_good):3d}  "
+          f"score {float(res.score):6.1f}  |t| {np.linalg.norm(t_est):.3f}  "
+          f"par p50/p90 {np.median(par_deg):.2f}/"
+          f"{np.percentile(par_deg, 90):.2f} deg  "
+          f"z p10/p50/p90 {np.percentile(z, 10):.2f}/{np.median(z):.2f}/"
+          f"{np.percentile(z, 90):.2f}")
+
+
 def main():
+    seed = int(os.environ.get("SLAM_PROBE_SEED", "11"))
     world = SyntheticWorld(n_points=900, width=640, height=480,
-                           fx=520.0, fy=520.0)
+                           fx=520.0, fy=520.0, seed=seed)
     cfg = EngineConfig(
         orb=OrbConfig(subpixel=os.environ.get("SLAM_PROBE_SUBPIXEL",
                                               "1") == "1"),
@@ -48,31 +83,38 @@ def main():
     # The bench's 90-frame trajectory (frame spacing depends on
     # n_frames!) — only the head is rendered/fed.
     ts, Rs, tls = world.trajectory(n_frames=90)
-    n_feed = 20
+    # SLAM_PROBE_FRAMES > 20 keeps feeding after the first commit so
+    # collapse-detector resets and their RE-commits are captured too —
+    # the rotten-init coverage diagnosis needs every commit, not the
+    # first (each entry reports GT quality + commit-time observables).
+    n_feed = int(os.environ.get("SLAM_PROBE_FRAMES", "20"))
     frames = [np.round(world.render(Rs[k], tls[k])).astype(np.uint8)
               for k in range(n_feed)]
 
     sys_ = System(cfg)
     # Drive the REAL init loop and intercept the committed pair — no
     # key-sequence replay guesswork.
-    committed = {}
+    commits = []
     orig_commit = sys_._commit_init
 
-    def commit_spy(ref_frame, cur_frame, res, timestamp):
-        committed["ref"] = ref_frame
-        committed["cur"] = cur_frame
-        committed["res"] = res
-        committed["ts"] = timestamp
-        orig_commit(ref_frame, cur_frame, res, timestamp)
+    def commit_spy(ref_frame, cur_frame, res, timestamp, n_good=None):
+        commits.append(dict(ref=ref_frame, cur=cur_frame, res=res,
+                            ts=timestamp))
+        orig_commit(ref_frame, cur_frame, res, timestamp, n_good=n_good)
 
     sys_._commit_init = commit_spy
     for k in range(n_feed):
         sys_.track_monocular(frames[k], float(ts[k]))
-        if committed:
+        if commits and n_feed <= 20:
             break
-    if not committed:
+    if not commits:
         print(f"no init committed in {n_feed} frames")
         return
+    print(f"world seed {seed}: {len(commits)} commit(s)")
+    for i, c in enumerate(commits):
+        _commit_report(world, ts, Rs, tls, c["ref"], c["cur"], c["res"],
+                       label=f"  commit {i}: ")
+    committed = commits[0]
     res = committed["res"]
     fa = committed["ref"]
     ka = int(round(float(np.asarray(fa.timestamp)) * 30))

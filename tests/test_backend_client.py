@@ -32,7 +32,13 @@ def test_backend_client_roundtrip():
                 fx=float(cam["fx"]), fy=float(cam["fy"]),
                 cx=float(cam["cx"]), cy=float(cam["cy"])),
             map=MapConfig(max_keyframes=16, max_landmarks=1024, ba_window=4),
-            tracking=TrackingConfig(init_min_matches=50),
+            # Protocol-path tests, not accuracy tests: the young-map
+            # collapse probe HOLDS poses while pending and a failed
+            # probe resets the map — on a ~20-frame clip either outcome
+            # can leave zero pose packets depending on the basin.
+            # Disable it so packet flow is deterministic.
+            tracking=TrackingConfig(init_min_matches=50,
+                                    init_collapse_frac=0.0),
         )
 
     received_poses = []
@@ -111,7 +117,13 @@ def test_backend_client_image_scale_and_shutdown_report(tmp_path, capsys):
                 fx=float(cam["fx"]) * s, fy=float(cam["fy"]) * s,
                 cx=float(cam["cx"]) * s, cy=float(cam["cy"]) * s),
             map=MapConfig(max_keyframes=16, max_landmarks=1024, ba_window=4),
-            tracking=TrackingConfig(init_min_matches=50),
+            # Protocol-path tests, not accuracy tests: the young-map
+            # collapse probe HOLDS poses while pending and a failed
+            # probe resets the map — on a ~20-frame clip either outcome
+            # can leave zero pose packets depending on the basin.
+            # Disable it so packet flow is deterministic.
+            tracking=TrackingConfig(init_min_matches=50,
+                                    init_collapse_frac=0.0),
         )
 
     received_poses = []
