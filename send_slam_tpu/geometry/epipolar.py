@@ -9,7 +9,10 @@ C++ RANSAC loops.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+from send_slam_tpu.geometry.se3 import hat, so3_exp
 
 
 def _normalize_points(x, w=None):
@@ -139,6 +142,100 @@ def sampson_error(F, x1, x2):
     num = jnp.sum(p2 * Fx1, -1) ** 2
     den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
     return num / jnp.maximum(den, 1e-12)
+
+
+def sampson_residual(F, x1, x2):
+    """SIGNED first-order geometric (Sampson) residual per
+    correspondence — `sampson_error` is this squared. Returns (N,)."""
+    ones = jnp.ones_like(x1[:, :1])
+    p1 = jnp.concatenate([x1, ones], -1)
+    p2 = jnp.concatenate([x2, ones], -1)
+    Fx1 = p1 @ F.T
+    Ftx2 = p2 @ F
+    num = jnp.sum(p2 * Fx1, -1)
+    den = Fx1[:, 0] ** 2 + Fx1[:, 1] ** 2 + Ftx2[:, 0] ** 2 + Ftx2[:, 1] ** 2
+    return num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+
+def sampson_cost(R, t, x1n, x2n, w):
+    """Mean weighted squared Sampson error of E(R,t) = [t]_x R over
+    K-normalized correspondences — the objective refine_rt_sampson
+    minimizes, exposed for tests/diagnostics."""
+    r = sampson_residual(hat(t) @ R, x1n, x2n)
+    return jnp.sum(w * r * r) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def refine_rt_sampson(R0, t0, x1n, x2n, w, iters: int = 12):
+    """Levenberg-damped Gauss-Newton refinement of relative motion on
+    the essential manifold: minimize the weighted squared Sampson error
+    of E(R, t) = [t]_x R over its 5 dof (so(3) x unit-sphere tangent).
+
+    Why this exists (round-4 init-tail forensics): the weighted 8-point
+    refit is ALGEBRAIC — at the bench's ~1 deg median init parallax its
+    t-direction is a RANSAC lottery (independent draws on one seed
+    landed 1.5/45/63/33 deg from truth with IDENTICAL support/parallax
+    observables). The Sampson GN step is the statistically efficient
+    estimator the reference workload gets from full BA inside
+    TwoViewReconstruction's iterative refinement; with a couple hundred
+    matches it pins the direction to a few degrees. Step acceptance
+    (cost must not increase) keeps it safe on degenerate low-parallax /
+    planar geometry where the cost surface goes flat.
+
+    Args: R0 (3,3), t0 (3,) any scale, x1n/x2n (N,2) K-NORMALIZED
+    coords, w (N,) {0,1} support weights. Returns (R, t) with unit t.
+    Fully jittable; ~iters * 6 Sampson passes over N points.
+    """
+    dtype = x1n.dtype
+    t0 = t0 / jnp.maximum(jnp.linalg.norm(t0), 1e-12)
+
+    def tangent_basis(t):
+        ref = jnp.where(jnp.abs(t[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0], dtype),
+                        jnp.asarray([0.0, 1.0, 0.0], dtype))
+        b1 = jnp.cross(t, ref)
+        b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+        b2 = jnp.cross(t, b1)
+        return jnp.stack([b1, b2], 1)                     # (3,2)
+
+    def residual(delta, R, t, B):
+        Rn = so3_exp(delta[:3]) @ R
+        tn = t + B @ delta[3:]
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        return sampson_residual(hat(tn) @ Rn, x1n, x2n)
+
+    def cost_of(R, t):
+        return sampson_cost(R, t, x1n, x2n, w)
+
+    z5 = jnp.zeros((5,), dtype)
+    eye5 = jnp.eye(5, dtype=dtype)
+
+    def body(carry, _):
+        R, t, cost, lam = carry
+        B = tangent_basis(t)
+        r = residual(z5, R, t, B)
+        J = jax.jacfwd(residual)(z5, R, t, B)             # (N,5)
+        Jw = J * w[:, None]
+        H = J.T @ Jw
+        g = Jw.T @ r
+        Hd = H + (lam * jnp.trace(H) / 5.0 + 1e-12) * eye5
+        delta = -jnp.linalg.solve(Hd, g)
+        Rn = so3_exp(delta[:3]) @ R
+        tn = t + B @ delta[3:]
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        cn = cost_of(Rn, tn)
+        ok = jnp.isfinite(cn) & (cn <= cost)
+        R = jnp.where(ok, Rn, R)
+        t = jnp.where(ok, tn, t)
+        cost = jnp.where(ok, cn, cost)
+        lam = jnp.clip(jnp.where(ok, lam * 0.3, lam * 10.0), 1e-8, 1e4)
+        return (R, t, cost, lam), None
+
+    c0 = cost_of(R0, t0)
+    (R, t, _, _), _ = jax.lax.scan(
+        body,
+        (R0.astype(dtype), t0.astype(dtype), c0, jnp.asarray(1e-4, dtype)),
+        None, length=iters)
+    return R, t
 
 
 def homography_error(H, x1, x2):

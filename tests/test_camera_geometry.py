@@ -143,3 +143,63 @@ class TestKannalaBrandt8:
         from send_slam_tpu.geometry.camera import project
         ref = np.asarray(project(jnp.asarray(pts), 458.0, 457.0, 367.0, 248.0))
         np.testing.assert_allclose(uv_u, ref, atol=0.05)
+
+
+class TestSampsonRefinement:
+    """refine_rt_sampson: geometric GN on the essential manifold must
+    recover the t-direction the algebraic 8-point refit leaves as a
+    lottery at low parallax (round-4 init-tail forensics; no reference
+    counterpart — TwoViewReconstruction gets the same effect from its
+    iterative BA refinement)."""
+
+    def _low_parallax_pair(self, n=300, noise=5e-4, baseline=0.02):
+        rng = np.random.default_rng(3)
+        from scipy.spatial.transform import Rotation
+        R_gt = Rotation.from_rotvec([0.02, -0.03, 0.01]).as_matrix()
+        t_gt = np.array([1.0, 0.2, -0.1])
+        t_gt /= np.linalg.norm(t_gt)
+        X = rng.uniform(-1, 1, (n, 3)) + [0, 0, 4.0]
+        x1 = X[:, :2] / X[:, 2:]
+        Xc2 = X @ R_gt.T + baseline * t_gt
+        x2 = Xc2[:, :2] / Xc2[:, 2:]
+        x1 = x1 + rng.normal(0, noise, x1.shape)
+        x2 = x2 + rng.normal(0, noise, x2.shape)
+        return (x1.astype(np.float32), x2.astype(np.float32),
+                R_gt.astype(np.float32), t_gt.astype(np.float32))
+
+    def test_pins_translation_direction(self):
+        from scipy.spatial.transform import Rotation
+        from send_slam_tpu.geometry.epipolar import refine_rt_sampson
+        x1, x2, R_gt, t_gt = self._low_parallax_pair()
+        R0 = Rotation.from_rotvec([0.025, -0.028, 0.012]).as_matrix()
+        t0 = t_gt + np.array([0.3, -0.2, 0.1])   # ~13 deg off
+        w = np.ones(len(x1), np.float32)
+        R, t = refine_rt_sampson(
+            jnp.asarray(R0, jnp.float32), jnp.asarray(t0, jnp.float32),
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(w))
+        R, t = np.asarray(R), np.asarray(t)
+        tdir_err = np.degrees(np.arccos(min(abs(float(t @ t_gt)), 1.0)))
+        rot_err = np.degrees(np.arccos(
+            np.clip((np.trace(R @ R_gt.T) - 1) / 2, -1, 1)))
+        assert tdir_err < 5.0, tdir_err      # start: ~13 deg
+        assert rot_err < 0.1, rot_err
+
+    def test_step_acceptance_never_worsens_cost(self):
+        """On a degenerate (zero-baseline) pair the cost surface in t
+        is flat/noisy — refinement must not run away from the start."""
+        from send_slam_tpu.geometry.epipolar import (
+            refine_rt_sampson, sampson_cost,
+        )
+        x1, x2, R_gt, t_gt = self._low_parallax_pair(baseline=0.0)
+        R0 = R_gt.copy()
+        t0 = np.array([1.0, 0.0, 0.0], np.float32)
+        w = np.ones(len(x1), np.float32)
+        R, t = refine_rt_sampson(
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(w))
+        c0 = sampson_cost(jnp.asarray(R0), jnp.asarray(t0),
+                          jnp.asarray(x1), jnp.asarray(x2),
+                          jnp.asarray(w))
+        c1 = sampson_cost(R, t, jnp.asarray(x1), jnp.asarray(x2),
+                          jnp.asarray(w))
+        assert float(c1) <= float(c0) * (1 + 1e-5), (float(c0), float(c1))
