@@ -283,9 +283,48 @@ class TrackingConfig:
     # in a dead map's gauge, which measured WORSE on stream ATE than
     # not resetting at all.
     init_collapse_frac: float = 0.45
+    # Multiplier on the median-parallax acceptance floor per collapse
+    # reset (1.5 -> floors 0.8/1.2/1.8 deg over resets 0/1/2): the
+    # collapsed commits all verified AT the floor, so the retry must
+    # demand a better-conditioned pair or it re-commits the same
+    # pathology (seed-11 forensics: two consecutive probe-fail cycles
+    # from same-gap pairs).
+    init_collapse_par_boost: float = 1.5
     init_collapse_window_s: float = 0.2
     init_collapse_horizon_s: float = 1.5
     init_collapse_max_resets: int = 3
+    # Translation-direction consistency gate on init commits (round-4
+    # TPU seed-11 forensics): at the bench's ~0.9 deg median init
+    # parallax the E-matrix t-direction is a RANSAC lottery — four
+    # commits on one seed drew t-dir errors of 1.5/45/63/33 deg with
+    # IDENTICAL support/parallax/|t|/depth-spread observables (the
+    # rotten draws even scored higher), so no single-pair statistic
+    # discriminates. What does: reproducibility. Consecutive
+    # acceptable candidates against the SAME reference share a true
+    # t-direction (1-frame motion delta is negligible), so two
+    # independent draws agreeing within init_tdir_max_deg certify the
+    # direction is data-determined, not sampled; disagreeing draws
+    # mean the pair is ambiguous and the commit waits for parallax to
+    # grow. Healthy draws land ~1-3 deg apart, rotten tens of degrees;
+    # the gate costs one frame of init latency when healthy. 0
+    # disables. Candidates older than init_tdir_window_s are not
+    # compared against (scene moved on).
+    init_tdir_max_deg: float = 12.0
+    init_tdir_window_s: float = 0.12
+    # Liveness cap: after this many CONSECUTIVE acceptable candidates
+    # vetoed by the consistency gate, stop vetoing and let probation
+    # scoring commit the best — erratic attempt cadence (wall-clock
+    # frame drops, looping replays) can make certification impossible
+    # while the candidates themselves are fine.
+    init_tdir_max_rejects: int = 6
+    # Floor (in octave-equivalents) on the GATED landmark distance-band
+    # width in tracking's projection gate: with few pyramid levels the
+    # stored band is a sliver (1.2^2 = 1.44x at n_levels=3) and a
+    # marching camera exits it between keyframe-rate refreshes —
+    # measured: the 8-lane merge scenario lost a lane at step 9 with
+    # the raw band. n_levels >= 7 configs are unchanged; 0 restores
+    # the raw band.
+    lm_band_floor_octaves: int = 6
     # Loop-closure robustness on long sessions (flagship lap-session
     # forensics, round 4): (a) loop probes are not dispatched while
     # tracking is thin — a Sim3 verified from a starved keyframe's few

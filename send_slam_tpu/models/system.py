@@ -37,6 +37,7 @@ tracking_state, the contents of the pose packet …cc:225-282),
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import os
 import sys
@@ -132,20 +133,25 @@ class System:
         self._make_frame = jax.jit(
             lambda img, ts: make_frame(img, ts, orb, cam))
 
-        def _init_step(frame_a: Frame, frame_b: Frame, key):
+        def _init_step(frame_a: Frame, frame_b: Frame, key, par_scale):
             res = two_view_init(
                 frame_a.uv_und, frame_a.feat.desc, frame_a.feat.valid,
                 frame_a.feat.angle,
                 frame_b.uv_und, frame_b.feat.desc, frame_b.feat.valid,
                 frame_b.feat.angle,
-                self._K, key, tr)
+                self._K, key, tr, par_scale=par_scale)
             # One 3-float decision bundle: the host fetches THIS (one
             # RTT) instead of ok/score/n_good separately — on the
             # remote axon backend each fetch is 30-2000 ms and the
             # init phase used to pay several per attempted pair
             # (time-to-first-track 11.7 s in BENCH_r03).
-            probe = jnp.stack([res.ok.astype(jnp.float32), res.score,
-                               res.n_good.astype(jnp.float32)])
+            # t-dir rides the same bundle (6 floats total): the
+            # commit-time consistency gate (TrackingConfig
+            # init_tdir_max_deg) needs it host-side every attempt.
+            t_dir = res.t / jnp.maximum(jnp.linalg.norm(res.t), 1e-12)
+            probe = jnp.concatenate([
+                jnp.stack([res.ok.astype(jnp.float32), res.score,
+                           res.n_good.astype(jnp.float32)]), t_dir])
             return res, probe
         self._init_step = jax.jit(_init_step)
 
@@ -633,7 +639,8 @@ class System:
             rng.integers(0, 255, (cam.height, cam.width)).astype(image_dtype))
         frame = tick("make_frame", self._make_frame(img_f, 0.0))
         init_res, _probe = tick("init_step",
-                                self._init_step(frame, frame, key))
+                                self._init_step(frame, frame, key,
+                                                jnp.asarray(1.0, jnp.float32)))
         m = tick("bootstrap_map",
                  self._bootstrap_map(self.map, frame, frame, init_res))
 
@@ -736,9 +743,15 @@ class System:
         # dispatched per frame.
         self._polish_queue: List[tuple] = []
         self._compact_cooldown = 0
+        self._committed_ref = None  # last committed init's ref Frame
         # Scored multi-pair init (see TrackingConfig.init_probation_*).
         self._init_best = None      # (score, res, ref_frame, cur_frame, ts)
         self._init_probes_left = 0
+        # t-dir consistency gate state: (ts, t_dir, attempt_idx) of the
+        # last acceptable candidate + consecutive-rejection counter
+        # (liveness cap — see _handle_init).
+        self._init_last_cand = None
+        self._init_tdir_rejects = 0
         # Pipelined tracking: in-flight frames awaiting their (lagged)
         # summary fetch. Each entry: dict(ts, st_prev, future) —
         # st_prev is the pre-frame LoopState used to rewind when the
@@ -762,9 +775,71 @@ class System:
         # Poses produced while the collapse probe is pending: flushed
         # into _trajectory on pass, discarded with the map on fail.
         self._held_outputs: List[tuple] = []
+        # Rolling raw-frame cache (host references, zero copies): a
+        # failed collapse probe re-attempts init IMMEDIATELY across
+        # these instead of waiting for new frames (see _process_lagged).
+        self._recent_imgs: collections.deque = collections.deque(maxlen=10)
 
     def get_tracking_state(self) -> int:
         return self.state
+
+    def _collapse_retry(self, ts_rel: float) -> None:
+        """Scale-collapse probe failed: discard the young map and
+        immediately re-attempt initialization across the rolling
+        raw-frame cache, at the boosted parallax floor.
+
+        A plain reset re-draws from the same starved ~1-frame-gap
+        parallax distribution that produced the collapse (measured:
+        3 probe-fail cycles burned 64/90 frames on bench seed 11),
+        and re-arming against the ORIGINAL reference fails the other
+        way — by the probe's verdict the scene has rotated enough
+        that descriptor matching across the full gap collapses
+        (n_good 159 at gap 7 vs 21 at gap 21 on the same arc). The
+        frame cache holds the intermediate gaps (7-13 frames): enough
+        parallax to clear the boosted floor, recent enough to match.
+        The session epoch is preserved so cached device timestamps
+        stay valid."""
+        imgs = list(self._recent_imgs)
+        t0 = self._t0
+        self.reset()
+        self._t0 = t0
+        if len(imgs) < 2:
+            return
+        par = jnp.asarray(self._init_par_scale(), jnp.float32)
+        frames = [self._make_frame(jnp.asarray(g, jnp.float32), tsd)
+                  for tsd, g in imgs]
+        cur = frames[-1]
+        best = None
+        for f in frames[:-1]:
+            self._key, sub = jax.random.split(self._key)
+            res, probe = self._init_step(f, cur, sub, par)
+            p = np.asarray(probe)
+            if p[0] > 0.5 and (best is None or float(p[1]) > best[0]):
+                best = (float(p[1]), res, f, float(p[2]))
+        ts_cur = float(imgs[-1][0])
+        if best is not None:
+            self._commit_init(best[2], cur, best[1], ts_cur,
+                              n_good=best[3])
+        else:
+            # No cached pair verified at the boosted floor: re-arm on
+            # the newest cached frame and let incoming frames widen
+            # the gap from there.
+            self._ref_frame = cur
+            self._ref_ts = ts_rel
+            self.state = TRACKING_NOT_INITIALIZED
+
+    def _init_par_scale(self) -> float:
+        """Median-parallax floor multiplier for init acceptance after a
+        collapse reset (the failed commits all verified at the 0.8-1
+        deg minimum; the detector's evidence says that bar was too low
+        for THIS scene). Applied ONCE, not per reset: descriptor
+        matching decays with the gap faster than parallax grows
+        (measured on the bench arc: n_good 159 at gap 7 / 1 deg vs 21
+        at gap 14 / 2 deg), so a second boost step (1.8 deg) put the
+        floor past every matchable pair and deadlocked init for the
+        rest of the session (0/90). Cleared when a probe passes."""
+        boost = self.cfg.tracking.init_collapse_par_boost
+        return float(boost) ** min(self._collapse_resets, 1)
 
     # ------------------------------------------------------------------
 
@@ -784,6 +859,7 @@ class System:
         if self._t0 is None:
             self._t0 = float(timestamp)
         ts_dev = float(timestamp) - self._t0
+        self._recent_imgs.append((ts_dev, gray))
         if self.state in (TRACKING_OK, TRACKING_RECENTLY_LOST):
             return self._track_pipelined(gray, timestamp, ts_dev)
 
@@ -818,6 +894,11 @@ class System:
 
     def _commit_init(self, ref_frame, cur_frame, res, timestamp,
                      n_good=None) -> None:
+        # Kept for the collapse detector: a failed scale probe re-arms
+        # init against THIS frame (see _process_lagged) so the retry
+        # pairs it with a much later frame instead of re-drawing from
+        # the same starved-parallax gap distribution.
+        self._committed_ref = ref_frame
         self.map = self._bootstrap_map(self.map, ref_frame, cur_frame, res)
         self._st = self._fresh_loop_state()._replace(
             R=res.R, t=res.t, R2=res.R, t2=res.t,
@@ -832,6 +913,8 @@ class System:
                               else int(res.n_good))
         self._init_best = None
         self._init_probes_left = 0
+        self._init_last_cand = None
+        self._init_tdir_rejects = 0
         self.init_commit_ts = timestamp    # session-relative ("seq time")
         t0 = self._t0 or 0.0
         ts_ref = t0 + float(np.asarray(ref_frame.timestamp))
@@ -846,7 +929,12 @@ class System:
         # baseline velocity in map units/s is the yardstick the
         # streamed velocity is checked against while the map is young.
         tr = self.cfg.tracking
-        dt_init = max(timestamp - self._ref_ts, 1.0 / 120.0)
+        # The PAIR's own timestamps, not _ref_ts: the collapse-retry
+        # path commits pairs whose reference never went through
+        # _handle_init's ref bookkeeping (reset() zeroes _ref_ts, which
+        # silently stretched dt 3x and inflated the retry's probe
+        # ratio past the collapse bar).
+        dt_init = max(ts_cur - ts_ref, 1.0 / 120.0)
         self._init_v = float(np.linalg.norm(twc_np)) / dt_init
         self._collapse_trace = []
         self._collapse_active = (
@@ -869,7 +957,9 @@ class System:
             return
 
         self._key, sub = jax.random.split(self._key)
-        res, probe = self._init_step(self._ref_frame, frame, sub)
+        res, probe = self._init_step(self._ref_frame, frame, sub,
+                                     jnp.asarray(self._init_par_scale(),
+                                                 jnp.float32))
         self.init_attempts += 1
         # ONE host fetch per attempted pair (ok, score, n_good) — on
         # the remote backend each fetch is an RTT; separate bool/float
@@ -878,6 +968,53 @@ class System:
         ok = bool(p[0] > 0.5)
         score = float(p[1]) if ok else -1.0
         n_good = float(p[2])
+        dbg = os.environ.get("SLAM_INIT_DEBUG") == "1"
+        ok_pre = ok
+
+        # Translation-direction consistency gate (init_tdir_max_deg):
+        # two consecutive acceptable candidates against the same
+        # reference must agree in t-direction before ANY commit — a
+        # lottery draw from a parallax-starved pair does not reproduce
+        # (see the config comment for the seed-11 forensics). The
+        # inconsistent candidate still becomes the yardstick for the
+        # next attempt.
+        if ok and tr.init_tdir_max_deg > 0.0:
+            t_dir = p[3:6]
+            prev = self._init_last_cand
+            # Fresh = comparable: within the scene-time window, OR the
+            # immediately-previous attempt. The second clause is the
+            # LIVENESS path for sparse cadences (timestamps are wall
+            # clock; a CPU-bound deployment processes ~1 fps of a
+            # 60 fps producer, so no two attempts ever landed inside
+            # the 0.12 s window and init deadlocked — caught by
+            # test_app_end_to_end). Consecutive attempts share a true
+            # t-direction whenever motion is smooth; when it is not,
+            # the rejection cap below still bounds the wait.
+            fresh = prev is not None and (
+                timestamp - prev[0] <= tr.init_tdir_window_s
+                or self.init_attempts - prev[2] == 1)
+            agree = fresh and float(np.dot(t_dir, prev[1])) >= float(
+                np.cos(np.radians(tr.init_tdir_max_deg)))
+            self._init_last_cand = (timestamp, t_dir, self.init_attempts)
+            if agree:
+                self._init_tdir_rejects = 0
+            else:
+                self._init_tdir_rejects += 1
+                # Liveness cap: if the gate cannot certify after this
+                # many consecutive acceptable candidates (erratic
+                # cadence, looping replay, genuinely unstable scene),
+                # stop vetoing — probation scoring picks the best.
+                if self._init_tdir_rejects < tr.init_tdir_max_rejects:
+                    ok = False
+                    score = -1.0
+
+        if dbg:
+            print(f"# init t={timestamp:7.3f} att={self.init_attempts:3d} "
+                  f"ok={int(ok_pre)}->{int(ok)} score={float(p[1]):6.1f} "
+                  f"n_good={n_good:5.0f} rejects={self._init_tdir_rejects} "
+                  f"probes_left={self._init_probes_left} "
+                  f"ref_age={timestamp - self._ref_ts:5.2f}",
+                  file=sys.stderr, flush=True)
 
         if ok:
             if self._init_best is None or score > self._init_best[0]:
@@ -914,6 +1051,16 @@ class System:
                 self._ref_ts = timestamp
                 self._init_best = None
                 self._init_probes_left = 0
+                self._init_last_cand = None
+                # _init_tdir_rejects deliberately SURVIVES the ref
+                # slide: it is a liveness counter. At sparse attempt
+                # cadence (wall-clock frame drops) every vetoed
+                # candidate ages the ref past the 1 s staleness bar,
+                # and resetting the counter here made the veto ->
+                # slide -> reset cycle spin forever (test_app_end_to_end
+                # deadlocked; dense-cadence hard seeds burned 70+
+                # frames the same way). Only a commit or session reset
+                # clears it.
 
     def _track_pipelined(self, gray, timestamp: float,
                          ts_dev: float) -> TrackOutput:
@@ -978,7 +1125,12 @@ class System:
         # trajectory evaluation).
         if self._last_out is not None:
             return self._last_out
-        return TrackOutput(self.state, None, None, 0, timestamp)
+        # No output yet this session (e.g. right after a collapse-retry
+        # commit): never claim TRACKING_OK without a pose — consumers
+        # index state==2 outputs by position.
+        st = (TRACKING_NOT_INITIALIZED if self.state == TRACKING_OK
+              else self.state)
+        return TrackOutput(st, None, None, 0, timestamp)
 
     def _process_lagged(self, summary_np=None) -> TrackOutput:
         ent = self._pending.pop(0)
@@ -1060,8 +1212,13 @@ class System:
                               file=sys.stderr, flush=True)
                     if ratio < tr.init_collapse_frac:
                         self._collapse_resets += 1
-                        self.reset()
-                        return TrackOutput(self.state, None, None, 0, ts)
+                        self._collapse_retry(ts_rel)
+                        # Even when the retry commits instantly, the
+                        # NEW map's probe is pending — the consumer
+                        # keeps seeing "initializing" (a state-2
+                        # output here would carry no pose).
+                        return TrackOutput(TRACKING_NOT_INITIALIZED,
+                                           None, None, 0, ts)
             if not self._collapse_active:
                 # Probe passed (or expired): the held prefix is real.
                 # A pass also RE-ARMS the reset budget — the
