@@ -197,8 +197,27 @@ def track_frame(
         dist = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1e-6)
         view_cos = jnp.sum(d * lm_normal, -1) / dist
         has = lm_dist_max > 0
-        ok = (view_cos > 0.5) & (dist >= 0.8 * lm_dist_min) \
-            & (dist <= 1.3 * lm_dist_max)
+        # The stored band spans the pyramid's scale range
+        # (scale_factor^(n_levels-1)); with few pyramid levels that is
+        # a sliver (1.2^2 = 1.44x at n_levels=3) and a marching camera
+        # exits it between keyframe-rate refreshes — measured: the
+        # 8-lane merge scenario (n_levels=3) lost a lane at step 9
+        # with the raw band, all lanes survive without it, and the
+        # inlier decay it was blamed for is scene turnover (identical
+        # with the gate ablated). Floor the GATED width at 6 octaves
+        # equivalent (n_levels >= 7 configs unchanged); descriptor
+        # matching tolerates moderate scale change, the pyramid range
+        # is a lower bound on validity, not an upper.
+        # (cfg.lm_band_floor_octaves; 0 restores the raw band.)
+        floor_ratio = scale_factor ** max(n_levels - 1,
+                                          cfg.lm_band_floor_octaves)
+        g = jnp.sqrt(jnp.maximum(lm_dist_min, 1e-9)
+                     * jnp.maximum(lm_dist_max, 1e-9))
+        half = float(floor_ratio) ** 0.5
+        dmin_eff = jnp.minimum(lm_dist_min, g / half)
+        dmax_eff = jnp.maximum(lm_dist_max, g * half)
+        ok = (view_cos > 0.5) & (dist >= 0.8 * dmin_eff) \
+            & (dist <= 1.3 * dmax_eff)
         in_view = in_view & (ok | ~has)
         # PredictScale: level = ceil(log(dmax / dist) / log(s)).
         ratio = jnp.maximum(lm_dist_max, 1e-6) / dist

@@ -39,6 +39,7 @@ def merge_from_partner(
     cfg: TrackingConfig,
     max_import: int = 512,
     dedup_dist: float = 0.05,    # relative to scene scale (see sim3_ransac)
+    trust_radius: float = 3.0,   # x support RMS radius (see below)
 ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
     """Align the partner's map to mine (Sim3 over co-observed
     landmarks) and import its novel landmarks. Returns
@@ -73,7 +74,24 @@ def merge_from_partner(
     d2 = jnp.sum((aligned[:, None, :] - m.lm_pos[None, :, :]) ** 2, -1)
     d2 = jnp.where(m.lm_valid[None, :], d2, jnp.inf)
     nearest = jnp.sqrt(jnp.min(d2, axis=1))
-    novel = partner_valid & (nearest > th) & res.ok
+
+    # Trust region: the Sim3 is determined by the co-observed inlier
+    # cluster; its gauge error AMPLIFIES with distance from that
+    # cluster (a 1% scale error moves a landmark 10 support-radii out
+    # by 10% of the cluster extent — measured: one 8-lane merge landed
+    # an extrapolated import 5.5 m off true structure while the
+    # co-observed region aligned fine). Import only partner landmarks
+    # within trust_radius x the support RMS radius; a degenerate tight
+    # support cluster then self-limits how far it can pollute the map.
+    wi = (res.inlier & match.valid).astype(jnp.float32)
+    wi_sum = jnp.maximum(jnp.sum(wi), 1.0)
+    c_sup = jnp.sum(src * wi[:, None], 0) / wi_sum      # partner frame
+    r_sup = jnp.sqrt(jnp.sum(wi * jnp.sum((src - c_sup) ** 2, -1))
+                     / wi_sum)
+    d_sup = jnp.linalg.norm(partner_pos - c_sup, axis=-1)
+    near_support = d_sup <= trust_radius * jnp.maximum(r_sup, 1e-6)
+
+    novel = partner_valid & (nearest > th) & res.ok & near_support
 
     # Cap the import count: keep the first max_import novel rows.
     order = jnp.cumsum(novel.astype(jnp.int32))
