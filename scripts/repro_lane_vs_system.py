@@ -48,9 +48,10 @@ def main():
         return np.array([0.35 * lane - 1.2 + 0.12 * s,
                          0.05 * np.sin(0.7 * s), 0.05 * s])
 
+    n_steps = int(os.environ.get("SLAM_STEPS", "30"))
     s = System(cfg)
     est, gts = [], []
-    for k in range(14):
+    for k in range(n_steps):
         c = lane_center(k)
         img = world.render(np.eye(3), -c)
         out = s.track_monocular(img.astype(np.float32), k / 30.0)
