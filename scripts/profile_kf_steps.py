@@ -70,10 +70,16 @@ def time_chained(name, step, m0, n=8):
 def main():
     world = SyntheticWorld(n_points=900, width=640, height=480,
                            fx=520.0, fy=520.0)
+    # Capacity knobs: SLAM_PROF_MK/ML/BW profile the flagship scale
+    # (256/16384) instead of the bench scale — the long-bench median
+    # is set by THESE programs, not the 64/8192 ones.
+    mk = int(os.environ.get("SLAM_PROF_MK", "64"))
+    ml = int(os.environ.get("SLAM_PROF_ML", "8192"))
+    bw = int(os.environ.get("SLAM_PROF_BW", "8"))
     cfg = EngineConfig(
         camera=CameraConfig(width=640, height=480, fx=520.0, fy=520.0,
                             cx=320.0, cy=240.0),
-        map=MapConfig(max_keyframes=64, max_landmarks=8192, ba_window=8),
+        map=MapConfig(max_keyframes=mk, max_landmarks=ml, ba_window=bw),
         tracking=TrackingConfig(init_min_matches=50),
     )
     print("backend:", jax.default_backend(), jax.devices()[0].device_kind,

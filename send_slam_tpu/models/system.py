@@ -752,6 +752,10 @@ class System:
         # (liveness cap — see _handle_init).
         self._init_last_cand = None
         self._init_tdir_rejects = 0
+        # Valid-keypoint count of the stored init reference (host-known
+        # at store time; None when unknown) — sets the dead-ref slide
+        # floor in _try_initialize.
+        self._ref_nkp = None
         # Pipelined tracking: in-flight frames awaiting their (lagged)
         # summary fetch. Each entry: dict(ts, st_prev, future) —
         # st_prev is the pre-frame LoopState used to rewind when the
@@ -826,6 +830,7 @@ class System:
             # the gap from there.
             self._ref_frame = cur
             self._ref_ts = ts_rel
+            self._ref_nkp = None
             self.state = TRACKING_NOT_INITIALIZED
 
     def _init_par_scale(self) -> float:
@@ -950,9 +955,11 @@ class System:
         support) set the whole run's accuracy."""
         tr = self.cfg.tracking
         if self._ref_frame is None:
-            if int(frame.feat.num_valid()) >= tr.init_min_matches:
+            nkp = int(frame.feat.num_valid())
+            if nkp >= tr.init_min_matches:
                 self._ref_frame = frame
                 self._ref_ts = timestamp
+                self._ref_nkp = nkp
                 self.state = TRACKING_NOT_INITIALIZED
             return
 
@@ -1045,10 +1052,29 @@ class System:
                                       n_good=best[5])
                     return
             # Slide the reference forward if it is getting stale
-            # (_ref_ts is host-tracked; no device fetch).
-            if timestamp - self._ref_ts > 1.0:
+            # (_ref_ts is host-tracked; no device fetch) — or DEAD:
+            # once the pair's support has decayed below the commit
+            # floor it can never become acceptable again (support only
+            # decays as the baseline grows — measured n_good 159 at
+            # gap 7, 21 at gap 14 on the bench arc), so waiting out the
+            # 1 s staleness backstop burns up to ~30 attempts per dead
+            # ref. This was the certification-coverage tail mechanism
+            # (round-4 part 3 residual: seeds spending most of a
+            # 90-frame run refusing to certify). Probation pending
+            # (_init_best) suppresses the dead-slide: a best pair is
+            # about to commit and sliding would discard it.
+            floor = float(tr.init_min_matches)
+            if self._ref_nkp:
+                floor = max(floor, tr.init_min_good_frac * self._ref_nkp)
+            nkp_cur = None
+            ref_dead = False
+            if self._init_best is None and n_good < floor:
+                nkp_cur = int(frame.feat.num_valid())
+                ref_dead = nkp_cur >= tr.init_min_matches
+            if timestamp - self._ref_ts > 1.0 or ref_dead:
                 self._ref_frame = frame
                 self._ref_ts = timestamp
+                self._ref_nkp = nkp_cur
                 self._init_best = None
                 self._init_probes_left = 0
                 self._init_last_cand = None

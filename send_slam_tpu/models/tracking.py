@@ -249,18 +249,34 @@ def track_frame(
         # discriminator (ORBmatcher::SearchByProjection does the same);
         # a ratio test against a map full of similar-texture landmarks
         # kills true matches wholesale. Mutuality still enforces 1-1.
-        m = match_descriptors(lm_desc, kp_desc, in_view, kp_valid,
-                              max_dist=float(cfg.hamming_th_high),
-                              ratio=1e9, mutual=True,
-                              extra_mask=window)
-        # Per-observation variance from keypoint octave (ORB invSigma2).
-        oct_m = kp_octave[jnp.clip(m.idx, 0, kp_octave.shape[0] - 1)]
-        sigma2 = (scale_factor ** oct_m.astype(jnp.float32)) ** 2
-        uv_obs = kp_uv[jnp.clip(m.idx, 0, kp_uv.shape[0] - 1)]
-        opt = pose_only_gn(R, t, lm_pos, uv_obs, m.valid,
+        m, mc = match_descriptors(lm_desc, kp_desc, in_view, kp_valid,
+                                  max_dist=float(cfg.hamming_th_high),
+                                  ratio=1e9, mutual=True,
+                                  extra_mask=window, return_col=True)
+        # Pose GN runs in COLUMN (keypoint) space: M rows instead of
+        # the landmark capacity L. The GN chain is ~60 batched small-
+        # matmul Jacobian iterations; at flagship capacity (L=16384,
+        # M=256) the row-space form wasted 64x of every one of them —
+        # measured 13.7 ms/track_frame on v5e, dominated exactly here.
+        # Observations (kp_uv) and octaves are already per-keypoint (no
+        # gather at all); the matched landmark positions are an M-row
+        # exact f32 take (M is small — this is NOT an L-sized gather).
+        L = lm_pos.shape[0]
+        X_col = jnp.take(lm_pos, jnp.clip(mc.idx, 0, L - 1), axis=0)
+        sigma2 = (scale_factor ** kp_octave.astype(jnp.float32)) ** 2
+        opt = pose_only_gn(R, t, X_col, kp_uv, mc.valid,
                            fx, fy, cx, cy, sigma2=sigma2,
                            huber_delta=cfg.huber_delta,
                            iters=cfg.pose_gn_inner, rounds=gn_rounds)
+        # Map the per-keypoint inlier verdicts back onto landmark rows
+        # (consumers index by row: landmark stats, keyframe insertion).
+        # {0,1} one-hot matvec, not an L-sized gather (near-serial on
+        # TPU); 0/1 values are exact in bf16.
+        cols = jnp.arange(kp_uv.shape[0], dtype=jnp.int32)
+        onehot = (m.idx[:, None] == cols[None, :]).astype(jnp.bfloat16)
+        inl_rows = m.valid & (
+            onehot @ opt.inlier.astype(jnp.bfloat16) > 0.5)
+        opt = opt._replace(inlier=inl_rows)
         return m, opt, in_view
 
     # Pass 1: wide window at the motion-model prediction.

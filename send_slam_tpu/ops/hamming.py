@@ -81,7 +81,8 @@ def match_descriptors(
     extra_mask: Optional[jnp.ndarray] = None,
     angles_a: Optional[jnp.ndarray] = None,
     angles_b: Optional[jnp.ndarray] = None,
-) -> Matches:
+    return_col: bool = False,
+):
     """Best-match search A -> B with distance/ratio/mutual/rotation tests.
 
     extra_mask: optional (N, M) bool of admissible pairs (projection
@@ -89,6 +90,13 @@ def match_descriptors(
     angles_*: if given, apply ORBmatcher-style rotation-consistency
     filtering (keep only matches whose angle difference falls in the 3
     most popular of 30 histogram bins).
+
+    return_col=True additionally returns the COLUMN view of the same
+    1-1 match set (requires mutual=True): a Matches over B whose idx
+    points into A. When A is a large landmark table and B a small
+    keypoint set, downstream per-match math (pose GN) should run in
+    column space — M rows instead of N (the N-row form wastes ~N/M of
+    every batched Jacobian op; at flagship capacity that was 64x).
     """
     d = _masked(hamming_matrix(desc_a, desc_b), valid_a, valid_b, extra_mask)
 
@@ -117,11 +125,24 @@ def match_descriptors(
         rot_ok = _rotation_consistent(angles_a, angles_b, best_idx, ok)
         ok &= rot_ok
 
-    return Matches(
+    row = Matches(
         idx=jnp.where(ok, best_idx, -1),
         dist=jnp.where(ok, best, INVALID_DIST),
         valid=ok,
     )
+    if not return_col:
+        return row
+    assert mutual, "column view is defined by the mutual 1-1 match set"
+    # Column j's mutual partner is back[j]; it is a real match iff that
+    # row survived every row-space test (ok gathers M small reads).
+    col_ok = ok[back] & (best_idx[back]
+                         == jnp.arange(d.shape[1], dtype=jnp.int32))
+    col = Matches(
+        idx=jnp.where(col_ok, back, -1),
+        dist=jnp.where(col_ok, best[back], INVALID_DIST),
+        valid=col_ok,
+    )
+    return row, col
 
 
 def _rotation_consistent(

@@ -76,6 +76,18 @@ class MultiCamState(NamedTuple):
     loop_run: jnp.ndarray         # int32 — consecutive consistent probes
     kf_since_loop: jnp.ndarray    # int32 — KFs since last APPLIED closure
     loops_total: jnp.ndarray      # int32 — closures applied (monotonic)
+    # --- per-lane init discipline (the System's host-side t-dir
+    # consistency gate + young-map scale-collapse probe, in-graph —
+    # CLAUDE.md round-5 weak spot 4: lanes used to commit the FIRST
+    # acceptable two-view init and keep rotten young maps forever) ---
+    init_tdir: jnp.ndarray        # (n_cam, 3) last acceptable cand t-dir
+    init_rejects: jnp.ndarray     # int32 — consecutive t-dir vetoes
+    init_v: jnp.ndarray           # f32 — init-pair baseline velocity
+    init_commit_ts: jnp.ndarray   # f32 — commit timestamp (probe horizon)
+    probe_t0: jnp.ndarray         # f32 — first tracked ts after commit
+    probe_pos0: jnp.ndarray       # (n_cam, 3) position at probe_t0
+    probe_armed: jnp.ndarray      # bool — collapse probe pending
+    collapse_resets: jnp.ndarray  # int32 — young-map discards (bounded)
 
 
 def init_multicam(cfg: EngineConfig, n_cam: int) -> MultiCamState:
@@ -102,6 +114,14 @@ def init_multicam(cfg: EngineConfig, n_cam: int) -> MultiCamState:
         # Large so the cooldown never blocks a lane's FIRST closure.
         kf_since_loop=jnp.full((n_cam,), 10 ** 6, jnp.int32),
         loops_total=jnp.zeros((n_cam,), jnp.int32),
+        init_tdir=jnp.zeros((n_cam, 3), jnp.float32),
+        init_rejects=jnp.zeros((n_cam,), jnp.int32),
+        init_v=jnp.zeros((n_cam,), jnp.float32),
+        init_commit_ts=jnp.zeros((n_cam,), jnp.float32),
+        probe_t0=jnp.full((n_cam,), -1.0, jnp.float32),
+        probe_pos0=jnp.zeros((n_cam, 3), jnp.float32),
+        probe_armed=jnp.zeros((n_cam,), bool),
+        collapse_resets=jnp.zeros((n_cam,), jnp.int32),
     )
 
 
@@ -194,6 +214,8 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
     def per_cam(img, ts, key, R, t, mode, ref_uv, ref_desc, ref_valid,
                 ref_angle, ref_oct, ref_ts, fsk, iak, lost, kft,
                 loop_last_cand, loop_run, kf_since_loop, loops_total,
+                init_tdir, init_rejects, init_v, init_commit_ts,
+                probe_t0, probe_pos0, probe_armed, collapse_resets,
                 m: MapState):
         frame = make_frame(img, ts, cfg.orb, cam)
         nfeat = frame.feat.num_valid()
@@ -204,8 +226,45 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
             ref_uv, ref_desc, ref_valid, ref_angle,
             frame.uv_und, frame.feat.desc, frame.feat.valid,
             frame.feat.angle, K, key, tr)
-        init_ok = (mode == MODE_HAS_REF) & init_res.ok
+        acceptable = (mode == MODE_HAS_REF) & init_res.ok
+        # Translation-direction consistency gate (the System's
+        # _try_initialize port, in-graph): at near-floor parallax the
+        # E-matrix t-direction is a RANSAC lottery — two CONSECUTIVE
+        # acceptable candidates against the same reference must agree
+        # within init_tdir_max_deg before any commit (reproducibility
+        # certifies the direction is data-determined). Lanes attempt at
+        # frame cadence, so consecutive-acceptance IS the comparability
+        # clause (the System's wall-clock window exists for sparse host
+        # cadences). The rejection cap bounds the wait (liveness).
+        if tr.init_tdir_max_deg > 0.0:
+            t_dir = init_res.t / jnp.maximum(
+                jnp.linalg.norm(init_res.t), 1e-9)
+            have_prev = jnp.sum(init_tdir * init_tdir) > 0.25
+            agree = have_prev & (
+                jnp.sum(t_dir * init_tdir)
+                >= jnp.cos(jnp.deg2rad(tr.init_tdir_max_deg)))
+            init_ok = acceptable & (
+                agree | (init_rejects >= tr.init_tdir_max_rejects))
+            init_rejects = jnp.where(
+                acceptable & ~agree, init_rejects + 1,
+                jnp.where(acceptable & agree, 0, init_rejects))
+            # The vetoed candidate still becomes the next yardstick.
+            init_tdir = jnp.where(acceptable, t_dir, init_tdir)
+        else:
+            init_ok = acceptable
         m_boot = bootstrap(m, ref, frame, init_res)
+        # Arm the young-map collapse probe at commit: remember the
+        # init-pair baseline velocity (the pair's own timestamps — the
+        # System lesson: a reset-zeroed ref_ts silently stretches dt).
+        dt_init = jnp.maximum(ts - ref_ts, 1.0 / 120.0)
+        twc_init = -(init_res.R.T @ init_res.t[:, None])[:, 0]
+        v0 = jnp.linalg.norm(twc_init) / dt_init
+        arm0 = (tr.init_collapse_frac > 0.0) \
+            & (collapse_resets < tr.init_collapse_max_resets)
+        init_v = jnp.where(init_ok, v0, init_v)
+        init_commit_ts = jnp.where(init_ok, ts, init_commit_ts)
+        probe_t0 = jnp.where(init_ok, -1.0, probe_t0)
+        probe_armed = jnp.where(init_ok, arm0, probe_armed)
 
         # ---- tracking attempt (TRACKING: motion prior; LOST:
         # retrieval prior + wide window — Tracking::Relocalization) ---
@@ -228,6 +287,33 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
         track_ok = trackable & (res.n_inliers >= tr.min_track_matches)
         m_trk = update_landmark_stats(m, res.in_view, res.inlier)
 
+        # ---- young-map scale-collapse probe (System port, in-graph):
+        # a rotation-ambiguous init "tracks" with healthy inliers while
+        # the streamed motion runs 10-80x slower than the init baseline
+        # implied. ONE windowed velocity comparison right after commit;
+        # on collapse the lane discards the young map and re-inits
+        # (bounded by init_collapse_max_resets; a pass re-arms the
+        # budget). Lanes have no pose consumer, so the System's
+        # held-output discipline does not apply here.
+        twc_cur = -(res.R.T @ res.t[:, None])[:, 0]
+        start = probe_armed & track_ok & (probe_t0 < 0.0)
+        probe_t0 = jnp.where(start, ts, probe_t0)
+        probe_pos0 = jnp.where(start, twc_cur, probe_pos0)
+        span = ts - probe_t0
+        expire = probe_armed & (
+            ts - init_commit_ts > tr.init_collapse_horizon_s)
+        evaluate = probe_armed & track_ok & ~start & (probe_t0 >= 0.0) \
+            & (span >= tr.init_collapse_window_s)
+        v_est = jnp.linalg.norm(twc_cur - probe_pos0) \
+            / jnp.maximum(span, 1e-9)
+        ratio = v_est / jnp.maximum(init_v, 1e-9)
+        collapse = evaluate & (ratio < tr.init_collapse_frac)
+        probe_pass = (evaluate & ~collapse) | (expire & ~evaluate)
+        probe_armed = probe_armed & ~(evaluate | expire)
+        collapse_resets = jnp.where(
+            collapse, collapse_resets + 1,
+            jnp.where(probe_pass, 0, collapse_resets))
+
         # ---- keyframe decision + insertion (masked) ------------------
         weak = res.n_inliers < (tr.kf_tracked_ratio
                                 * jnp.maximum(iak, 1).astype(jnp.float32))
@@ -245,8 +331,10 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
         m_kf = prune_zero_obs_landmarks(m_kf)
         m_kf, _ = cull_redundant_keyframes(m_kf, max_cull=2)
 
-        # ---- lane reset: persistent loss on a young map --------------
-        do_reset = is_lost & ~track_ok & (lost > 10) & (m.n_kf <= 5)
+        # ---- lane reset: persistent loss on a young map, or a failed
+        # scale-collapse probe (either way the young map is rotten) ----
+        do_reset = (is_lost & ~track_ok & (lost > 10) & (m.n_kf <= 5)) \
+            | collapse
 
         # ---- compose next state (priority: reset > boot > kf > trk) --
         m_next = _tree_select(do_kf, m_kf, m_trk)
@@ -315,10 +403,22 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
             loop_run = run_n
             loop_last_cand = last_cand_n
 
-        # Reference management.
+        # Reference management. A ref whose match support has decayed
+        # below the init floor is DEAD — support only decays as the
+        # baseline grows (matching decays faster than parallax grows;
+        # lane-6 forensics: n_good 73 at gap 2, 28 at gap 3, 10 at gap
+        # 8) — so slide immediately instead of waiting out the 1 s
+        # staleness backstop (init would deadlock for ~30 frames).
+        # Parallax-starved pairs keep high support and correctly KEEP
+        # their ref (sliding every frame would pin the gap at 1 frame
+        # and parallax would never grow).
+        dead_ref = (mode == MODE_HAS_REF) & ~init_ok \
+            & (init_res.n_good < tr.init_min_matches) \
+            & (nfeat >= tr.init_min_matches)
         store_ref = ((mode == MODE_NO_REF)
                      & (nfeat >= tr.init_min_matches)) \
-            | ((mode == MODE_HAS_REF) & ~init_ok & (ts - ref_ts > 1.0))
+            | ((mode == MODE_HAS_REF) & ~init_ok & (ts - ref_ts > 1.0)) \
+            | dead_ref
         ref_uv_n = jnp.where(store_ref, frame.uv_und, ref_uv)
         ref_desc_n = jnp.where(store_ref, frame.feat.desc, ref_desc)
         ref_valid_n = jnp.where(store_ref, frame.feat.valid, ref_valid)
@@ -346,6 +446,21 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
         loop_last_cand = jnp.where(do_reset, -1, loop_last_cand)
         loop_run = jnp.where(do_reset, 0, loop_run)
         kf_since_loop = jnp.where(do_reset, 10 ** 6, kf_since_loop)
+        # Init-discipline state lifecycle: the t-dir yardstick SURVIVES
+        # ref slides — the candidate translation direction lives in the
+        # CURRENT camera frame, which for smooth motion is (near-)
+        # independent of which reference produced it, so certification
+        # compares across refs (without this, any cadence whose ref
+        # lifetime is ~2 attempts can never see two consecutive
+        # acceptable candidates against one ref and init deadlocks
+        # until the rejection cap — measured 19-41 frames at 1 s/frame).
+        # The rejection counter also survives slides (liveness — the
+        # System lesson: resetting it on slide spins veto -> slide ->
+        # reset forever). Both clear on commit or lane reset.
+        clear_tdir = init_ok | do_reset
+        init_tdir = jnp.where(clear_tdir, 0.0, init_tdir)
+        init_rejects = jnp.where(init_ok | do_reset, 0, init_rejects)
+        probe_armed = probe_armed & ~do_reset
 
         Rwc = jnp.swapaxes(R_next, -1, -2)
         twc = -(Rwc @ t_next[..., None])[..., 0]
@@ -362,7 +477,10 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
         return (m_next, R_next, t_next, mode_n, ref_uv_n, ref_desc_n,
                 ref_valid_n, ref_angle_n, ref_oct_n, ref_ts_n, fsk_n,
                 iak_n, lost_n, kft_n, loop_last_cand, loop_run,
-                kf_since_loop, loops_total, summary)
+                kf_since_loop, loops_total,
+                init_tdir, init_rejects, init_v, init_commit_ts,
+                probe_t0, probe_pos0, probe_armed, collapse_resets,
+                summary)
 
     def sharded(imgs, tss, keys, state: MultiCamState):
         outs = jax.vmap(per_cam)(
@@ -372,15 +490,22 @@ def multicam_slam_step(cfg: EngineConfig, mesh: Mesh,
             state.frames_since_kf, state.inliers_at_kf,
             state.lost_frames, state.kf_total,
             state.loop_last_cand, state.loop_run,
-            state.kf_since_loop, state.loops_total, state.maps)
+            state.kf_since_loop, state.loops_total,
+            state.init_tdir, state.init_rejects, state.init_v,
+            state.init_commit_ts, state.probe_t0, state.probe_pos0,
+            state.probe_armed, state.collapse_resets, state.maps)
         (m, R, t, mode, ruv, rdesc, rvalid, rangle, roct, rts,
-         fsk, iak, lost, kft, llc, lrun, ksl, ltot, summary) = outs
+         fsk, iak, lost, kft, llc, lrun, ksl, ltot,
+         itd, irj, ivl, icts, pt0, pp0, parm, crs, summary) = outs
         new_state = MultiCamState(
             maps=m, R=R, t=t, mode=mode, ref_uv=ruv, ref_desc=rdesc,
             ref_valid=rvalid, ref_angle=rangle, ref_oct=roct, ref_ts=rts,
             frames_since_kf=fsk, inliers_at_kf=iak, lost_frames=lost,
             kf_total=kft, loop_last_cand=llc, loop_run=lrun,
-            kf_since_loop=ksl, loops_total=ltot)
+            kf_since_loop=ksl, loops_total=ltot,
+            init_tdir=itd, init_rejects=irj, init_v=ivl,
+            init_commit_ts=icts, probe_t0=pt0, probe_pos0=pp0,
+            probe_armed=parm, collapse_resets=crs)
         all_summary = jax.lax.all_gather(summary, "cam", tiled=True)
         return new_state, all_summary
 

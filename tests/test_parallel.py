@@ -153,7 +153,10 @@ class TestMultiCamFullSemantics:
         step = multicam_slam_step(cfg, mesh)
 
         key = jax.random.PRNGKey(7)
-        n_steps = 50
+        # 60 steps: the in-graph init discipline (t-dir certification)
+        # costs ~4-8 frames of init latency at this 1 s/frame cadence;
+        # the 2x-capacity insertion bar needs the extra headroom.
+        n_steps = 60
         gt = [[] for _ in range(n)]     # (ts, c) ground truth
         est = [[] for _ in range(n)]    # (ts, twc) while TRACKING
         summary = None
@@ -407,3 +410,120 @@ class TestMergeConsistency:
                 jnp.full((n,), s / 30.0, jnp.float32), keys)
         summary = np.asarray(summary)
         assert (summary[:, 0].astype(int) == MODE_TRACKING).all(), summary
+
+
+class TestLaneInitDiscipline:
+    """The System's host-side init discipline, carried in-graph per
+    lane (CLAUDE.md round-5 weak spot 4): the t-direction consistency
+    gate defers commits until two consecutive acceptable two-view
+    candidates agree (with a rejection-cap liveness bound), and the
+    young-map scale-collapse probe discards a map whose streamed
+    velocity contradicts the init-pair baseline velocity."""
+
+    def _cfg(self):
+        return EngineConfig(
+            orb=OrbConfig(n_features=256, n_levels=3),
+            camera=CameraConfig(width=160, height=120, fx=130.0,
+                                fy=130.0, cx=80.0, cy=60.0),
+            map=MapConfig(max_keyframes=8, max_landmarks=1024,
+                          ba_window=4),
+            tracking=TrackingConfig(init_min_matches=30,
+                                    kf_max_interval=3),
+        )
+
+    def _run(self, cfg, n_steps=12, record=False):
+        from send_slam_tpu.utils.synth import SyntheticWorld
+
+        n = len(jax.devices())
+        world = SyntheticWorld(n_points=700, width=160, height=120,
+                               fx=130.0, fy=130.0)
+        mesh = make_mesh(n, ("cam",))
+        state = init_multicam(cfg, n)
+        step = multicam_slam_step(cfg, mesh)
+        key = jax.random.PRNGKey(0)
+        modes_hist = []
+        for s in range(n_steps):
+            imgs = []
+            for lane in range(n):
+                R = np.eye(3)
+                c = np.array([0.35 * lane - 1.2 + 0.12 * s, 0.0, 0.0])
+                imgs.append(world.render(R, -R @ c))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, summary = step(
+                state, jnp.asarray(np.stack(imgs), jnp.float32),
+                jnp.full((n,), s / 30.0, jnp.float32), keys)
+            if record:
+                modes_hist.append(np.asarray(summary)[:, 0].astype(int))
+        return state, np.asarray(summary), modes_hist, step, world, key
+
+    @pytest.mark.slow
+    def test_tdir_gate_defers_then_commits(self):
+        """With the gate ON, lanes still reach TRACKING (consecutive
+        candidates on smooth motion agree), and no lane commits on its
+        very first initialization attempt (the gate needs two)."""
+        cfg = self._cfg()
+        assert cfg.tracking.init_tdir_max_deg > 0.0  # default ON
+        state, summary, hist, *_ = self._run(cfg, n_steps=12,
+                                             record=True)
+        modes = summary[:, 0].astype(int)
+        assert (modes == MODE_TRACKING).all(), summary
+        # Frame 0 stores the ref; frame 1 is the FIRST acceptable
+        # candidate and must be vetoed (no yardstick yet) — so no lane
+        # may be TRACKING before frame 2.
+        assert (hist[1] != MODE_TRACKING).all(), hist[1]
+        # The gate certified within the liveness bound.
+        assert (np.asarray(state.init_rejects)
+                <= cfg.tracking.init_tdir_max_rejects).all()
+
+    @pytest.mark.slow
+    def test_collapse_probe_resets_rotten_young_map(self):
+        """Inject the collapse signature (init baseline velocity 50x
+        the streamed motion) into tracking lanes and assert the probe
+        fires: the lane discards its map and re-initializes, while
+        unpoisoned lanes keep theirs. End state: every lane healthy
+        again (the discipline is a recovery path, not a kill switch)."""
+        cfg = self._cfg()
+        n = len(jax.devices())
+        state, summary, _, step, world, key = self._run(cfg, n_steps=8)
+        assert (summary[:, 0].astype(int) == MODE_TRACKING).all()
+        kf_before = np.asarray(state.maps.n_kf).copy()
+        # Poison the even lanes: re-arm the probe with an init_v far
+        # above any streamed velocity (the rotten-init signature is
+        # exactly this ratio collapsing toward zero).
+        lanes = np.arange(n)
+        poison = jnp.asarray(lanes % 2 == 0)
+        ts_now = 7.0 / 30.0
+        state = state._replace(
+            init_v=jnp.where(poison, 50.0, state.init_v),
+            init_commit_ts=jnp.full((n,), ts_now, jnp.float32),
+            probe_t0=jnp.full((n,), -1.0, jnp.float32),
+            probe_armed=poison,
+            collapse_resets=jnp.zeros((n,), jnp.int32),
+        )
+        saw_reset = np.zeros(n, bool)
+        for s in range(8, 28):
+            imgs = []
+            for lane in range(n):
+                R = np.eye(3)
+                c = np.array([0.35 * lane - 1.2 + 0.12 * s, 0.0, 0.0])
+                imgs.append(world.render(R, -R @ c))
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, n)
+            state, summary = step(
+                state, jnp.asarray(np.stack(imgs), jnp.float32),
+                jnp.full((n,), s / 30.0, jnp.float32), keys)
+            srow = np.asarray(summary)
+            saw_reset |= srow[:, 0].astype(int) != MODE_TRACKING
+        resets = np.asarray(state.collapse_resets)
+        # Every poisoned lane fired the probe (reset observed via a
+        # non-tracking interlude or the bounded reset counter).
+        assert (resets[lanes % 2 == 0] >= 1).all() \
+            or saw_reset[lanes % 2 == 0].all(), (resets, saw_reset)
+        # Unpoisoned lanes never reset and kept their maps.
+        assert not saw_reset[lanes % 2 == 1].any(), saw_reset
+        assert (np.asarray(state.maps.n_kf)[lanes % 2 == 1]
+                >= kf_before[lanes % 2 == 1]).all()
+        # Poisoned lanes recovered: tracking again on a re-built map.
+        assert (np.asarray(summary)[:, 0].astype(int)
+                == MODE_TRACKING).all(), summary
