@@ -226,14 +226,26 @@ class TrackingConfig:
     # Two-view initializer
     init_ransac_iters: int = 512
     init_min_matches: int = 60
-    # Scored multi-pair initialization: the first ACCEPTABLE pair is a
-    # lottery (low-parallax/low-support inits bake in bad geometry and
-    # dominated round-2's run-to-run ATE variance). An acceptable init
-    # commits immediately if its score (n_good, discounted toward zero
-    # as median parallax approaches the acceptance minimum —
-    # InitResult.score) clears init_strong_frac * init_min_matches;
-    # otherwise up to init_probation_frames more candidate pairs are
-    # evaluated and the BEST acceptable one wins.
+    # Multi-reference batched initialization (round 5): every init
+    # frame scores the current frame against len(init_ref_gaps)
+    # references drawn from a rolling frame cache at these gaps (in
+    # frames behind the current one, clamped to what the cache holds),
+    # all in ONE vmapped dispatch + ONE host fetch. Replaces the
+    # round-2..4 single-ref scheme (fixed ref + probation + ref-slide
+    # + dead-ref detection), whose certification latency was the
+    # round-4 coverage collapse: the official bench spent 30-54 of 90
+    # frames refusing to certify (two seeds never did — BENCH_r04
+    # tracked_min 0) because one pair per frame gives the t-dir
+    # consistency gate one reproducibility sample per frame. K gaps
+    # per frame give C(K,2) same-frame cross-reference samples plus
+    # the cross-frame one, so a healthy scene certifies in the first
+    # frame where two gaps both verify. The gap ladder covers the
+    # measured match-support-vs-parallax sweet spot (n_good 159 at
+    # gap 7, 21 at gap 21 on the bench arc).
+    init_ref_gaps: tuple = (2, 4, 8, 12)
+    # Legacy probation knob (no effect since round 5 — kept so stored
+    # configs and __graft_entry__ kwargs keep loading): multi-ref
+    # scoring commits the best certified pair immediately.
     init_probation_frames: int = 4
     init_strong_frac: float = 1.8
     # Also require n_good >= frac * (valid keypoints in the reference
@@ -284,12 +296,19 @@ class TrackingConfig:
     # not resetting at all.
     init_collapse_frac: float = 0.45
     # Multiplier on the median-parallax acceptance floor per collapse
-    # reset (1.5 -> floors 0.8/1.2/1.8 deg over resets 0/1/2): the
-    # collapsed commits all verified AT the floor, so the retry must
-    # demand a better-conditioned pair or it re-commits the same
-    # pathology (seed-11 forensics: two consecutive probe-fail cycles
-    # from same-gap pairs).
-    init_collapse_par_boost: float = 1.5
+    # reset. 1.0 (no boost) since round 5: the boost existed because
+    # the round-4 retry committed the best ACCEPTABLE pair with no
+    # certification, so the retry had to demand better conditioning or
+    # it re-committed the same pathology. The retry now goes through
+    # the same multi-ref t-dir + velocity-band certification as a
+    # normal init, which rejects rotten pairs directly — and the boost
+    # actively hurt: on seed-93 forensics, retry pairs with 300+ good
+    # points failed ONLY the boosted 1.2-deg floor, stalling
+    # certification ~25 frames (A/B boost 1.5 vs 1.0: tracked 45/90
+    # commit@1.233s/19 attempts vs 60/90 commit@0.733s/4 attempts,
+    # ATE healthy both ways). Values > 1 remain meaningful if the
+    # certification gates are disabled.
+    init_collapse_par_boost: float = 1.0
     init_collapse_window_s: float = 0.2
     init_collapse_horizon_s: float = 1.5
     init_collapse_max_resets: int = 3
@@ -299,23 +318,37 @@ class TrackingConfig:
     # commits on one seed drew t-dir errors of 1.5/45/63/33 deg with
     # IDENTICAL support/parallax/|t|/depth-spread observables (the
     # rotten draws even scored higher), so no single-pair statistic
-    # discriminates. What does: reproducibility. Consecutive
-    # acceptable candidates against the SAME reference share a true
-    # t-direction (1-frame motion delta is negligible), so two
+    # discriminates. What does: reproducibility. Acceptable candidates
+    # sharing the current frame (different cached references — the
+    # round-5 multi-ref batch) or one frame apart share a true
+    # t-direction (the inter-reference motion delta is small), so two
     # independent draws agreeing within init_tdir_max_deg certify the
     # direction is data-determined, not sampled; disagreeing draws
-    # mean the pair is ambiguous and the commit waits for parallax to
-    # grow. Healthy draws land ~1-3 deg apart, rotten tens of degrees;
-    # the gate costs one frame of init latency when healthy. 0
-    # disables. Candidates older than init_tdir_window_s are not
-    # compared against (scene moved on).
+    # mean the pairs are ambiguous and the commit waits for parallax
+    # to grow. Healthy draws land ~1-3 deg apart, rotten tens of
+    # degrees. 0 disables. Cross-FRAME comparisons additionally
+    # require the previous candidates to be fresh: within
+    # init_tdir_window_s OR from the immediately-previous attempt
+    # (the liveness path for sparse wall-clock cadences — see the
+    # round-4 deadlock note in system.py).
     init_tdir_max_deg: float = 12.0
     init_tdir_window_s: float = 0.12
-    # Liveness cap: after this many CONSECUTIVE acceptable candidates
-    # vetoed by the consistency gate, stop vetoing and let probation
-    # scoring commit the best — erratic attempt cadence (wall-clock
-    # frame drops, looping replays) can make certification impossible
-    # while the candidates themselves are fine.
+    # Scale-consistency band on the SAME agreement check: the two
+    # agreeing pairs must also imply the same camera speed in their
+    # median-depth gauges (max/min of |t|/dt within this factor). A
+    # rotation-ambiguous pair reconstructs its baseline 5-15x small
+    # (the round-4 collapse-tail mechanism: healthy pair-vs-commit
+    # ratios measured >= 0.8, collapsed 0.02-0.27), so direction
+    # agreement alone can certify a rotten commit that then burns the
+    # collapse-probe + retry cycle (~25 frames, seed-93 forensics).
+    # 0 disables.
+    init_vel_band: float = 2.5
+    # Liveness cap: after this many CONSECUTIVE frames whose
+    # acceptable candidates were all vetoed by the consistency gate,
+    # stop vetoing and commit the best acceptable candidate seen —
+    # erratic attempt cadence (wall-clock frame drops, looping
+    # replays) or a genuinely curved path can make certification
+    # impossible while the candidates themselves are fine.
     init_tdir_max_rejects: int = 6
     # Floor (in octave-equivalents) on the GATED landmark distance-band
     # width in tracking's projection gate: with few pyramid levels the

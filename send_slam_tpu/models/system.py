@@ -133,27 +133,42 @@ class System:
         self._make_frame = jax.jit(
             lambda img, ts: make_frame(img, ts, orb, cam))
 
-        def _init_step(frame_a: Frame, frame_b: Frame, key, par_scale):
-            res = two_view_init(
-                frame_a.uv_und, frame_a.feat.desc, frame_a.feat.valid,
-                frame_a.feat.angle,
-                frame_b.uv_und, frame_b.feat.desc, frame_b.feat.valid,
-                frame_b.feat.angle,
-                self._K, key, tr, par_scale=par_scale)
-            # One 3-float decision bundle: the host fetches THIS (one
-            # RTT) instead of ok/score/n_good separately — on the
-            # remote axon backend each fetch is 30-2000 ms and the
-            # init phase used to pay several per attempted pair
-            # (time-to-first-track 11.7 s in BENCH_r03).
-            # t-dir rides the same bundle (6 floats total): the
-            # commit-time consistency gate (TrackingConfig
-            # init_tdir_max_deg) needs it host-side every attempt.
-            t_dir = res.t / jnp.maximum(jnp.linalg.norm(res.t), 1e-12)
-            probe = jnp.concatenate([
-                jnp.stack([res.ok.astype(jnp.float32), res.score,
-                           res.n_good.astype(jnp.float32)]), t_dir])
-            return res, probe
-        self._init_step = jax.jit(_init_step)
+        # Multi-reference init (round 5, the BENCH_r04 coverage fix):
+        # ONE vmapped dispatch scores the current frame against
+        # K = len(init_ref_gaps) cached references, and ONE host fetch
+        # returns every pair's (ok, score, n_good, t_dir) — on the
+        # remote axon backend each fetch is 30-2000 ms, so the round-2
+        # one-bundle-per-attempt discipline is kept while the t-dir
+        # consistency gate gets C(K,2) same-frame reproducibility
+        # samples per frame instead of one (certification used to take
+        # 30-54 frames on hard seeds; two BENCH_r04 seeds never
+        # certified at all).
+        self._n_init_refs = len(tr.init_ref_gaps)
+
+        def _init_multi(refs: Frame, cur: Frame, keys, par_scale):
+            def one(ref: Frame, key):
+                res = two_view_init(
+                    ref.uv_und, ref.feat.desc, ref.feat.valid,
+                    ref.feat.angle,
+                    cur.uv_und, cur.feat.desc, cur.feat.valid,
+                    cur.feat.angle,
+                    self._K, key, tr, par_scale=par_scale)
+                # |t| is the pair's baseline in ITS median-depth=1
+                # gauge: two pairs seeing the same scene agree on it
+                # (per unit time) iff their reconstructions share a
+                # consistent scale — the certification-time version of
+                # the collapse probe's velocity test (see
+                # _try_initialize).
+                t_norm = jnp.maximum(jnp.linalg.norm(res.t), 1e-12)
+                t_dir = res.t / t_norm
+                probe = jnp.concatenate([
+                    jnp.stack([res.ok.astype(jnp.float32), res.score,
+                               res.n_good.astype(jnp.float32)]),
+                    t_dir, t_norm[None]])
+                return res, probe
+            res, probes = jax.vmap(one)(refs, keys)
+            return res, probes.reshape(-1)        # (K*7,) — one fetch
+        self._init_multi = jax.jit(_init_multi)
 
         def _track_step(m: MapState, R_pred, t_pred, frame: Frame, radius):
             return track_frame(
@@ -565,6 +580,7 @@ class System:
         import threading
         self._tail_ready = threading.Event()
         self._tail_ready.set()
+        self.warmup_tail_s = -1.0   # wall time to tail-ready (warmup())
 
         self.reset()
 
@@ -615,7 +631,9 @@ class System:
         verbose = os.environ.get("SLAM_WARMUP_VERBOSE") == "1"
         block = block or verbose   # sequential timings need ordering
         self._tail_ready.clear()
-        _t = [time.perf_counter()]
+        _t_start = time.perf_counter()
+        self.warmup_tail_s = -1.0   # set when the tail finishes
+        _t = [_t_start]
 
         def tick(name, out):
             """Per-program compile timing (SLAM_WARMUP_VERBOSE=1).
@@ -638,9 +656,14 @@ class System:
         img_raw = jnp.asarray(
             rng.integers(0, 255, (cam.height, cam.width)).astype(image_dtype))
         frame = tick("make_frame", self._make_frame(img_f, 0.0))
-        init_res, _probe = tick("init_step",
-                                self._init_step(frame, frame, key,
-                                                jnp.asarray(1.0, jnp.float32)))
+        K_REF = self._n_init_refs
+        refs = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * K_REF), frame)
+        keys = jax.random.split(key, K_REF)
+        res_m, _probe = tick("init_step",
+                             self._init_multi(refs, frame, keys,
+                                              jnp.asarray(1.0, jnp.float32)))
+        init_res = jax.tree_util.tree_map(lambda x: x[0], res_m)
         m = tick("bootstrap_map",
                  self._bootstrap_map(self.map, frame, frame, init_res))
 
@@ -662,41 +685,56 @@ class System:
         m3 = tick("maintain_step", self._maintain_step(m2))
 
         def warm_tail():
-            lam = jnp.asarray(1e-3, jnp.float32)
-            pr = jnp.asarray(False)
-            kf_id = jnp.asarray(1, jnp.int32)
-            m3w, dR, dt, big = tick("wide_slice",
-                                    self._wide_slice(m, lam, pr))
-            _st3 = tick("rebase_st_cond",
-                        self._rebase_st_cond(st, dR, dt, big))
-            m3g, _dR, _dt, _big = tick("global_slice",
-                                       self._global_slice(m, lam, pr))
-            _mf, _nc = tick("forced_cull", self._forced_cull_step(m))
-            _mc, _nv = tick("compact", self._compact_step(m))
-            _ids = tick("covis_window", self._covis_window(m))
-            cands, scores = tick("loop_candidate",
-                                 self._loop_candidate(m, kf_id))
-            loop, cand_sel = tick("loop_sim3",
-                                  self._loop_sim3(m, kf_id, cands, key))
-            m4, _dRl, _dtl, _mb, _ma = tick(
-                "loop_apply", self._loop_apply(m, kf_id, cand_sel, loop))
-            res_r, _sc = tick("reloc_step", self._reloc_step(m, frame, key))
-            # Atlas programs: freeze/weld on prolonged reloc failure
-            # compiles these mid-run otherwise (the flagship long bench
-            # measured multi-second stalls exactly there).
-            _c, _s = tick("atlas_cand",
-                          self._atlas_cand(m, m.kf_signature[0]))
-            aw = tick("atlas_sim3",
-                      self._atlas_sim3(m, m, jnp.asarray(0, jnp.int32),
-                                       jnp.asarray(0, jnp.int32), key))
-            m5, _nk, _nl = tick(
-                "atlas_weld",
-                self._atlas_weld(m, m, aw.sim3.s, aw.sim3.R, aw.sim3.t))
+            # try/finally: _tail_ready MUST always end up set. A relay
+            # blip killing this daemon thread before set() would
+            # silently disable wide-BA polish, loop closing AND
+            # relocalization for the whole session (their dispatch
+            # gates check the event) — the failed programs then simply
+            # compile lazily on first dispatch, the pre-round-4
+            # behavior (ADVICE r4, medium).
             try:
-                jax.block_until_ready((m4, m3g, _ids, res_r, m5))
-            except Exception:
-                pass
-            self._tail_ready.set()
+                lam = jnp.asarray(1e-3, jnp.float32)
+                pr = jnp.asarray(False)
+                kf_id = jnp.asarray(1, jnp.int32)
+                m3w, dR, dt, big = tick("wide_slice",
+                                        self._wide_slice(m, lam, pr))
+                _st3 = tick("rebase_st_cond",
+                            self._rebase_st_cond(st, dR, dt, big))
+                m3g, _dR, _dt, _big = tick("global_slice",
+                                           self._global_slice(m, lam, pr))
+                _mf, _nc = tick("forced_cull", self._forced_cull_step(m))
+                _mc, _nv = tick("compact", self._compact_step(m))
+                _ids = tick("covis_window", self._covis_window(m))
+                cands, scores = tick("loop_candidate",
+                                     self._loop_candidate(m, kf_id))
+                loop, cand_sel = tick("loop_sim3",
+                                      self._loop_sim3(m, kf_id, cands, key))
+                m4, _dRl, _dtl, _mb, _ma = tick(
+                    "loop_apply", self._loop_apply(m, kf_id, cand_sel, loop))
+                res_r, _sc = tick("reloc_step",
+                                  self._reloc_step(m, frame, key))
+                # Atlas programs: freeze/weld on prolonged reloc failure
+                # compiles these mid-run otherwise (the flagship long
+                # bench measured multi-second stalls exactly there).
+                _c, _s = tick("atlas_cand",
+                              self._atlas_cand(m, m.kf_signature[0]))
+                aw = tick("atlas_sim3",
+                          self._atlas_sim3(m, m, jnp.asarray(0, jnp.int32),
+                                           jnp.asarray(0, jnp.int32), key))
+                m5, _nk, _nl = tick(
+                    "atlas_weld",
+                    self._atlas_weld(m, m, aw.sim3.s, aw.sim3.R, aw.sim3.t))
+                try:
+                    jax.block_until_ready((m4, m3g, _ids, res_r, m5))
+                except Exception:
+                    pass
+            except Exception as e:  # noqa: BLE001 — backend transport
+                print(f"# warmup tail failed ({e!r}); affected programs "
+                      "will compile lazily on first dispatch",
+                      file=sys.stderr, flush=True)
+            finally:
+                self.warmup_tail_s = time.perf_counter() - _t_start
+                self._tail_ready.set()
 
         if block or os.environ.get("SLAM_WARMUP_BLOCK") == "1":
             warm_tail()
@@ -723,8 +761,6 @@ class System:
         # Session epoch: device timestamps are (t - _t0) so float32
         # arrays keep millisecond resolution under epoch-sized stamps.
         self._t0: Optional[float] = None
-        self._ref_frame: Optional[Frame] = None
-        self._ref_ts: float = 0.0   # host mirror of _ref_frame.timestamp
         self._st = self._fresh_loop_state()
         self._lost_frames = 0
         self._last_inliers = 0
@@ -744,18 +780,21 @@ class System:
         self._polish_queue: List[tuple] = []
         self._compact_cooldown = 0
         self._committed_ref = None  # last committed init's ref Frame
-        # Scored multi-pair init (see TrackingConfig.init_probation_*).
-        self._init_best = None      # (score, res, ref_frame, cur_frame, ts)
-        self._init_probes_left = 0
-        # t-dir consistency gate state: (ts, t_dir, attempt_idx) of the
-        # last acceptable candidate + consecutive-rejection counter
-        # (liveness cap — see _handle_init).
-        self._init_last_cand = None
+        # Multi-reference init state (see _try_initialize): rolling
+        # cache of recent init-phase Frames (device pytrees, tiny —
+        # descriptors + keypoints only), deep enough for the largest
+        # configured reference gap.
+        self._init_frames: collections.deque = collections.deque(
+            maxlen=max(cfg.tracking.init_ref_gaps) + 1)
+        # Best acceptable candidate seen so far (liveness-cap commit):
+        # (score, res, ref_frame, cur_frame, ts, n_good).
+        self._init_best = None
+        # Previous frame's acceptable candidates for the cross-frame
+        # t-dir comparison: (ts, attempt_idx, [unit t_dirs]).
+        self._init_prev_cands = None
+        # Consecutive frames whose acceptable candidates were ALL
+        # vetoed by the t-dir gate (liveness cap — see _try_initialize).
         self._init_tdir_rejects = 0
-        # Valid-keypoint count of the stored init reference (host-known
-        # at store time; None when unknown) — sets the dead-ref slide
-        # floor in _try_initialize.
-        self._ref_nkp = None
         # Pipelined tracking: in-flight frames awaiting their (lagged)
         # summary fetch. Each entry: dict(ts, st_prev, future) —
         # st_prev is the pre-frame LoopState used to rewind when the
@@ -788,9 +827,10 @@ class System:
         return self.state
 
     def _collapse_retry(self, ts_rel: float) -> None:
-        """Scale-collapse probe failed: discard the young map and
-        immediately re-attempt initialization across the rolling
-        raw-frame cache, at the boosted parallax floor.
+        """Scale-collapse probe failed: discard the young map, seed
+        the init frame cache from the rolling raw-image cache, and
+        immediately re-attempt initialization at the boosted parallax
+        floor (one _try_initialize pass over the seeded cache).
 
         A plain reset re-draws from the same starved ~1-frame-gap
         parallax distribution that produced the collapse (measured:
@@ -799,39 +839,27 @@ class System:
         way — by the probe's verdict the scene has rotated enough
         that descriptor matching across the full gap collapses
         (n_good 159 at gap 7 vs 21 at gap 21 on the same arc). The
-        frame cache holds the intermediate gaps (7-13 frames): enough
+        image cache holds the intermediate gaps (7-13 frames): enough
         parallax to clear the boosted floor, recent enough to match.
         The session epoch is preserved so cached device timestamps
-        stay valid."""
+        stay valid. Unlike the round-4 retry (best acceptable pair,
+        no gate), the re-attempt goes through the SAME multi-ref
+        certification as a normal init — a rotten retry commit
+        false-passed the collapse probe once already (the dt bug) and
+        the gate is cheap now."""
         imgs = list(self._recent_imgs)
         t0 = self._t0
         self.reset()
         self._t0 = t0
         if len(imgs) < 2:
             return
-        par = jnp.asarray(self._init_par_scale(), jnp.float32)
-        frames = [self._make_frame(jnp.asarray(g, jnp.float32), tsd)
-                  for tsd, g in imgs]
-        cur = frames[-1]
-        best = None
-        for f in frames[:-1]:
-            self._key, sub = jax.random.split(self._key)
-            res, probe = self._init_step(f, cur, sub, par)
-            p = np.asarray(probe)
-            if p[0] > 0.5 and (best is None or float(p[1]) > best[0]):
-                best = (float(p[1]), res, f, float(p[2]))
-        ts_cur = float(imgs[-1][0])
-        if best is not None:
-            self._commit_init(best[2], cur, best[1], ts_cur,
-                              n_good=best[3])
-        else:
-            # No cached pair verified at the boosted floor: re-arm on
-            # the newest cached frame and let incoming frames widen
-            # the gap from there.
-            self._ref_frame = cur
-            self._ref_ts = ts_rel
-            self._ref_nkp = None
-            self.state = TRACKING_NOT_INITIALIZED
+        for tsd, g in imgs[:-1]:
+            self._init_frames.append(
+                (float(tsd),
+                 self._make_frame(jnp.asarray(g, jnp.float32), tsd)))
+        ts_cur, img_cur = imgs[-1]
+        cur = self._make_frame(jnp.asarray(img_cur, jnp.float32), ts_cur)
+        self._try_initialize(cur, float(ts_cur))
 
     def _init_par_scale(self) -> float:
         """Median-parallax floor multiplier for init acceptance after a
@@ -874,8 +902,14 @@ class System:
             frame = self._make_frame(img, ts_dev)
             self._try_initialize(frame, ts_dev)
         elif self.state == TRACKING_LOST:
-            frame = self._make_frame(img, ts_dev)
-            self._relocalize(frame, timestamp)
+            # Reloc rides the warmup TAIL: dispatching it while the
+            # tail is still compiling would block the frame loop on a
+            # ~36 s compile — the exact mid-run stall the readiness
+            # gate exists to prevent (ADVICE r4). Stay LOST until the
+            # program is compiled.
+            if self._tail_ready.is_set():
+                frame = self._make_frame(img, ts_dev)
+                self._relocalize(frame, timestamp)
 
         if self.state == TRACKING_OK:
             pos, quat = self._twc()
@@ -917,9 +951,9 @@ class System:
         self._last_inliers = (int(n_good) if n_good is not None
                               else int(res.n_good))
         self._init_best = None
-        self._init_probes_left = 0
-        self._init_last_cand = None
+        self._init_prev_cands = None
         self._init_tdir_rejects = 0
+        self._init_frames.clear()
         self.init_commit_ts = timestamp    # session-relative ("seq time")
         t0 = self._t0 or 0.0
         ts_ref = t0 + float(np.asarray(ref_frame.timestamp))
@@ -934,11 +968,10 @@ class System:
         # baseline velocity in map units/s is the yardstick the
         # streamed velocity is checked against while the map is young.
         tr = self.cfg.tracking
-        # The PAIR's own timestamps, not _ref_ts: the collapse-retry
-        # path commits pairs whose reference never went through
-        # _handle_init's ref bookkeeping (reset() zeroes _ref_ts, which
-        # silently stretched dt 3x and inflated the retry's probe
-        # ratio past the collapse bar).
+        # The PAIR's own timestamps, never host ref bookkeeping: the
+        # round-4 retry path once used a host mirror that reset()
+        # zeroed, silently stretching dt 3x — the inflated init_v let
+        # a rotten retry commit false-pass the collapse probe.
         dt_init = max(ts_cur - ts_ref, 1.0 / 120.0)
         self._init_v = float(np.linalg.norm(twc_np)) / dt_init
         self._collapse_trace = []
@@ -947,146 +980,163 @@ class System:
             and self._collapse_resets < tr.init_collapse_max_resets)
 
     def _try_initialize(self, frame: Frame, timestamp: float) -> None:
-        """Scored multi-pair two-view init: acceptable pairs only
-        commit immediately when clearly strong; otherwise a short
-        probation window keeps the BEST acceptable pair (support x
-        parallax). The first-acceptable-pair policy was the round-2
-        init lottery — one weak accepted init (low parallax / marginal
-        support) set the whole run's accuracy."""
+        """Multi-reference batched two-view init (round 5).
+
+        Every init frame is scored against K = len(init_ref_gaps)
+        references from the rolling frame cache in ONE vmapped
+        dispatch + ONE host fetch, and the t-dir consistency gate
+        certifies from SAME-FRAME cross-reference agreement: two
+        acceptable pairs (different cached references) agreeing in
+        translation direction prove the direction is data-determined,
+        so the best-scoring certified candidate commits immediately.
+        Cross-frame agreement with the previous frame's acceptable
+        candidates is kept as a second path (one pair may verify per
+        frame on marginal scenes).
+
+        This replaces the single-ref + probation + ref-slide scheme:
+        with one pair per frame the gate got one reproducibility
+        sample per frame and hard seeds burned 30-90 frames refusing
+        to certify (BENCH_r04: tracked_median 40/90, two seeds 0/90).
+        The gap ladder also dissolves the dead-ref problem — support
+        decays as the baseline grows (n_good 159 at gap 7, 21 at gap
+        21 on the bench arc), and the cache always holds short AND
+        long gaps, so no host-side staleness heuristics remain."""
         tr = self.cfg.tracking
-        if self._ref_frame is None:
-            nkp = int(frame.feat.num_valid())
-            if nkp >= tr.init_min_matches:
-                self._ref_frame = frame
-                self._ref_ts = timestamp
-                self._ref_nkp = nkp
-                self.state = TRACKING_NOT_INITIALIZED
+        cache = self._init_frames
+        cache.append((timestamp, frame))
+        self.state = TRACKING_NOT_INITIALIZED
+        n = len(cache) - 1          # frames available as references
+        if n < 1:
             return
 
+        # Reference selection: cache[-1] is this frame; gap g -> the
+        # frame g steps behind it (clamped to the oldest cached).
+        # Duplicates after clamping are padded to keep the dispatch
+        # shape static, and ignored host-side.
+        idxs: List[int] = []
+        for g in tr.init_ref_gaps:
+            j = max(n - g, 0)
+            if j not in idxs:
+                idxs.append(j)
+        n_uniq = len(idxs)
+        while len(idxs) < self._n_init_refs:
+            idxs.append(idxs[0])
+        refs = [cache[j] for j in idxs]
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *[r[1] for r in refs])
         self._key, sub = jax.random.split(self._key)
-        res, probe = self._init_step(self._ref_frame, frame, sub,
-                                     jnp.asarray(self._init_par_scale(),
-                                                 jnp.float32))
+        keys = jax.random.split(sub, self._n_init_refs)
+        res, bundle = self._init_multi(
+            stacked, frame, keys,
+            jnp.asarray(self._init_par_scale(), jnp.float32))
         self.init_attempts += 1
-        # ONE host fetch per attempted pair (ok, score, n_good) — on
-        # the remote backend each fetch is an RTT; separate bool/float
-        # reads per attempt dominated time-to-first-track.
-        p = np.asarray(probe)
-        ok = bool(p[0] > 0.5)
-        score = float(p[1]) if ok else -1.0
-        n_good = float(p[2])
-        dbg = os.environ.get("SLAM_INIT_DEBUG") == "1"
-        ok_pre = ok
+        p = np.asarray(bundle).reshape(self._n_init_refs, 7)
 
-        # Translation-direction consistency gate (init_tdir_max_deg):
-        # two consecutive acceptable candidates against the same
-        # reference must agree in t-direction before ANY commit — a
-        # lottery draw from a parallax-starved pair does not reproduce
-        # (see the config comment for the seed-11 forensics). The
-        # inconsistent candidate still becomes the yardstick for the
-        # next attempt.
-        if ok and tr.init_tdir_max_deg > 0.0:
-            t_dir = p[3:6]
-            prev = self._init_last_cand
-            # Fresh = comparable: within the scene-time window, OR the
-            # immediately-previous attempt. The second clause is the
-            # LIVENESS path for sparse cadences (timestamps are wall
-            # clock; a CPU-bound deployment processes ~1 fps of a
-            # 60 fps producer, so no two attempts ever landed inside
-            # the 0.12 s window and init deadlocked — caught by
-            # test_app_end_to_end). Consecutive attempts share a true
-            # t-direction whenever motion is smooth; when it is not,
-            # the rejection cap below still bounds the wait.
-            fresh = prev is not None and (
-                timestamp - prev[0] <= tr.init_tdir_window_s
-                or self.init_attempts - prev[2] == 1)
-            agree = fresh and float(np.dot(t_dir, prev[1])) >= float(
-                np.cos(np.radians(tr.init_tdir_max_deg)))
-            self._init_last_cand = (timestamp, t_dir, self.init_attempts)
-            if agree:
-                self._init_tdir_rejects = 0
-            else:
-                self._init_tdir_rejects += 1
-                # Liveness cap: if the gate cannot certify after this
-                # many consecutive acceptable candidates (erratic
-                # cadence, looping replay, genuinely unstable scene),
-                # stop vetoing — probation scoring picks the best.
-                if self._init_tdir_rejects < tr.init_tdir_max_rejects:
-                    ok = False
-                    score = -1.0
+        # Acceptable candidates this frame: (score, ref_idx, t_dir,
+        # n_good, v) for each unique reference whose pair verified —
+        # v = baseline speed in the pair's own median-depth gauge
+        # (|t| / dt), the scale-consistency observable.
+        cands = []
+        for i in range(n_uniq):
+            if p[i, 0] > 0.5:
+                dt = max(timestamp - refs[i][0], 1.0 / 120.0)
+                cands.append((float(p[i, 1]), i, p[i, 3:6].copy(),
+                              float(p[i, 2]), float(p[i, 6]) / dt))
 
-        if dbg:
+        if os.environ.get("SLAM_INIT_DEBUG") == "1":
+            det = " ".join(
+                f"g{n - idxs[i]}:ok={int(p[i, 0])},s={p[i, 1]:.0f},"
+                f"ng={p[i, 2]:.0f}" for i in range(n_uniq))
             print(f"# init t={timestamp:7.3f} att={self.init_attempts:3d} "
-                  f"ok={int(ok_pre)}->{int(ok)} score={float(p[1]):6.1f} "
-                  f"n_good={n_good:5.0f} rejects={self._init_tdir_rejects} "
-                  f"probes_left={self._init_probes_left} "
-                  f"ref_age={timestamp - self._ref_ts:5.2f}",
+                  f"rejects={self._init_tdir_rejects} {det}",
                   file=sys.stderr, flush=True)
 
-        if ok:
-            if self._init_best is None or score > self._init_best[0]:
-                self._init_best = (score, res, self._ref_frame, frame,
-                                   timestamp, n_good)
-            if score >= tr.init_strong_frac * tr.init_min_matches \
-                    or tr.init_probation_frames <= 0:
-                self._commit_init(self._ref_frame, frame, res, timestamp,
-                                  n_good=n_good)
-                return
-            if self._init_probes_left <= 0:
-                self._init_probes_left = tr.init_probation_frames
+        def commit(score, i, n_good):
+            res_i = jax.tree_util.tree_map(lambda x: x[i], res)
+            self._commit_init(refs[i][1], frame, res_i, timestamp,
+                              n_good=n_good)
+
+        if cands:
+            top = max(cands, key=lambda c: c[0])
+            # Liveness-cap fallback pool: the best acceptable pair
+            # seen this init phase (committed only if certification
+            # keeps failing — see below).
+            if self._init_best is None or top[0] > self._init_best[0]:
+                res_top = jax.tree_util.tree_map(
+                    lambda x: x[top[1]], res)
+                self._init_best = (top[0], res_top, refs[top[1]][1],
+                                   frame, timestamp, top[3])
+
+            certified = None
+            if tr.init_tdir_max_deg <= 0.0:
+                certified = top          # gate disabled
             else:
-                self._init_probes_left -= 1
-                if self._init_probes_left <= 0:
-                    best = self._init_best
-                    self._commit_init(best[2], best[3], best[1], best[4],
-                                      n_good=best[5])
-                    return
+                cosmax = float(np.cos(np.radians(tr.init_tdir_max_deg)))
+
+                def agree(ca_dir, ca_v, cb_dir, cb_v):
+                    # Direction reproducibility + SCALE consistency:
+                    # two pairs seeing the same scene at different
+                    # baselines must imply the same camera speed in
+                    # the shared median-depth gauge. A rotation-
+                    # ambiguous pair reconstructs its baseline 5-15x
+                    # small (the round-4 collapse-tail mechanism), so
+                    # agreeing directions with wildly different
+                    # speeds mean one reconstruction is rotten —
+                    # rejecting it here saves the commit + collapse
+                    # probe + retry cycle (~20-40 frames on hard
+                    # seeds; seed-93 forensics).
+                    if float(np.dot(ca_dir, cb_dir)) < cosmax:
+                        return False
+                    band = tr.init_vel_band
+                    if band <= 0:
+                        return True
+                    hi, lo = max(ca_v, cb_v), max(min(ca_v, cb_v), 1e-12)
+                    return hi / lo <= band
+
+                # Same-frame cross-reference agreement (the fast path).
+                for a in range(len(cands)):
+                    for b in range(a + 1, len(cands)):
+                        if agree(cands[a][2], cands[a][4],
+                                 cands[b][2], cands[b][4]):
+                            c = max(cands[a], cands[b],
+                                    key=lambda c: c[0])
+                            if certified is None or c[0] > certified[0]:
+                                certified = c
+                # Cross-frame agreement: previous candidates are
+                # comparable when fresh — within the scene-time window
+                # OR from the immediately-previous attempt (the
+                # liveness path for sparse wall-clock cadences; a
+                # CPU-bound deployment processes ~1 fps of a 60 fps
+                # producer and no two attempts ever land inside the
+                # 0.12 s window — test_app_end_to_end deadlocked on
+                # exactly that before the attempt-index clause).
+                prev = self._init_prev_cands
+                if certified is None and prev is not None and (
+                        timestamp - prev[0] <= tr.init_tdir_window_s
+                        or self.init_attempts - prev[1] == 1):
+                    for c in cands:
+                        for d_dir, d_v in prev[2]:
+                            if agree(c[2], c[4], d_dir, d_v):
+                                if certified is None \
+                                        or c[0] > certified[0]:
+                                    certified = c
+
+            if certified is not None:
+                commit(certified[0], certified[1], certified[3])
+                return
+            # Acceptable but uncertified: count toward the liveness
+            # cap — erratic cadence or a strongly curved path can make
+            # agreement impossible while the candidates are fine.
+            self._init_tdir_rejects += 1
+            if self._init_tdir_rejects >= tr.init_tdir_max_rejects:
+                best = self._init_best
+                self._commit_init(best[2], best[3], best[1], best[4],
+                                  n_good=best[5])
+                return
+            self._init_prev_cands = (timestamp, self.init_attempts,
+                                     [(c[2], c[4]) for c in cands])
         else:
-            if self._init_best is not None:
-                # Candidate pairs stopped verifying (scene moved on):
-                # commit the best we saw rather than discarding it.
-                self._init_probes_left -= 1
-                if self._init_probes_left <= 0:
-                    best = self._init_best
-                    self._commit_init(best[2], best[3], best[1], best[4],
-                                      n_good=best[5])
-                    return
-            # Slide the reference forward if it is getting stale
-            # (_ref_ts is host-tracked; no device fetch) — or DEAD:
-            # once the pair's support has decayed below the commit
-            # floor it can never become acceptable again (support only
-            # decays as the baseline grows — measured n_good 159 at
-            # gap 7, 21 at gap 14 on the bench arc), so waiting out the
-            # 1 s staleness backstop burns up to ~30 attempts per dead
-            # ref. This was the certification-coverage tail mechanism
-            # (round-4 part 3 residual: seeds spending most of a
-            # 90-frame run refusing to certify). Probation pending
-            # (_init_best) suppresses the dead-slide: a best pair is
-            # about to commit and sliding would discard it.
-            floor = float(tr.init_min_matches)
-            if self._ref_nkp:
-                floor = max(floor, tr.init_min_good_frac * self._ref_nkp)
-            nkp_cur = None
-            ref_dead = False
-            if self._init_best is None and n_good < floor:
-                nkp_cur = int(frame.feat.num_valid())
-                ref_dead = nkp_cur >= tr.init_min_matches
-            if timestamp - self._ref_ts > 1.0 or ref_dead:
-                self._ref_frame = frame
-                self._ref_ts = timestamp
-                self._ref_nkp = nkp_cur
-                self._init_best = None
-                self._init_probes_left = 0
-                self._init_last_cand = None
-                # _init_tdir_rejects deliberately SURVIVES the ref
-                # slide: it is a liveness counter. At sparse attempt
-                # cadence (wall-clock frame drops) every vetoed
-                # candidate ages the ref past the 1 s staleness bar,
-                # and resetting the counter here made the veto ->
-                # slide -> reset cycle spin forever (test_app_end_to_end
-                # deadlocked; dense-cadence hard seeds burned 70+
-                # frames the same way). Only a commit or session reset
-                # clears it.
+            self._init_prev_cands = None
 
     def _track_pipelined(self, gray, timestamp: float,
                          ts_dev: float) -> TrackOutput:
@@ -1281,13 +1331,23 @@ class System:
         self._last_out = out
         return out
 
-    def _flush_pipeline(self) -> None:
-        """Drain in-flight frames (state transitions, shutdown)."""
+    def _flush_pipeline(self) -> List[TrackOutput]:
+        """Drain in-flight frames (state transitions, shutdown).
+
+        Returns the drained outputs (plus any outputs already sitting
+        in the ready queue): these are REAL poses of frames dispatched
+        while the pipeline was in flight — a consumer that stops
+        feeding frames (end of sequence, shutdown) still gets them,
+        like the reference backend's shutdown trajectory dump flushes
+        everything it processed (orbslam3_mono_networked.cc:670)."""
+        outs = list(self._ready)
+        self._ready.clear()
         while self._pending:
             if self.state not in (TRACKING_OK, TRACKING_RECENTLY_LOST):
                 self._pending.clear()
-                return
-            self._process_lagged()
+                break
+            outs.append(self._process_lagged())
+        return outs
 
     def _relocalize(self, frame: Frame, timestamp: float) -> None:
         """Pose recovery against the map (Tracking::Relocalization):
@@ -1643,7 +1703,7 @@ class System:
         self._n_kf_host = int(self.map.n_kf)
         self._slots_used = self._n_kf_host
         self.state = TRACKING_LOST
-        self._ref_frame = None
+        self._init_frames.clear()
         self._lost_frames = 0
         self._st = self._st._replace(
             ba_window=self._covis_window(self.map))

@@ -126,30 +126,59 @@ def _kernel(img_hbm, out_ref, scratch, sem, *, TH, OW, threshold, n_tiles,
     out_ref[:, :] = _fast_tile(tile, threshold, TH, OW, with_nms)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "threshold", "interpret", "with_nms"))
-def fast_score_map_pallas(
-    img: jnp.ndarray, threshold: float, interpret: bool = False,
-    with_nms: bool = False,
-) -> jnp.ndarray:
-    """Drop-in replacement for ops.fast.fast_score_map on TPU; with
-    with_nms=True it fuses nms3x3 as well."""
-    H, W = img.shape
+def _kernel_batched(img_hbm, out_ref, scratch, sem, *, TH, OW, threshold,
+                    n_tiles, with_nms):
+    """Batch-aware variant: grid (B, n_tiles), the (B, Hp, Wp) input
+    stays whole-array in memory space ANY (Mosaic's constraint for
+    manually-DMA'd operands) and the kernel indexes the batch row
+    itself. Needed because vmap's generic pallas batching rule blocks
+    the INPUT spec over the batch axis, which ANY-space operands do
+    not support — multicam's vmap(per_cam) over make_frame hit exactly
+    that on the real chip (round-5 TPU lane run)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def get_dma(slot, tile_idx):
+        start = pl.multiple_of(tile_idx * TH, 8)
+        return pltpu.make_async_copy(
+            img_hbm.at[b, pl.ds(start, TH + 2 * _HALO), :],
+            scratch.at[slot],
+            sem.at[slot],
+        )
+
+    # Double-buffered within each batch row (one bubble per row).
+    @pl.when(i == 0)
+    def _():
+        get_dma(0, 0).start()
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        get_dma((i + 1) % 2, i + 1).start()
+
+    get_dma(i % 2, i).wait()
+    tile = scratch[i % 2]
+    out_ref[0, :, :] = _fast_tile(tile, threshold, TH, OW, with_nms)
+
+
+def _geometry(H: int, W: int):
     TH = 32
     n_tiles = -(-H // TH)
     Hp = n_tiles * TH
     OW = -(-W // 128) * 128                 # lane-aligned output width
     Wp = -(-(OW + 2 * _CPAD) // 128) * 128  # padded input width
+    return TH, n_tiles, Hp, OW, Wp
 
+
+def _call_single(img, threshold, with_nms, interpret):
+    H, W = img.shape
+    TH, n_tiles, Hp, OW, Wp = _geometry(H, W)
     padded = jnp.pad(
         img,
         ((_HALO, Hp - H + _HALO), (_CPAD, Wp - W - _CPAD)),
         mode="edge")
-
     kernel = functools.partial(
         _kernel, TH=TH, OW=OW, threshold=float(threshold), n_tiles=n_tiles,
         with_nms=with_nms)
-
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -164,3 +193,55 @@ def fast_score_map_pallas(
         interpret=interpret,
     )(padded)
     return out[:H, :W]
+
+
+def _call_batched(imgs, threshold, with_nms, interpret):
+    B, H, W = imgs.shape
+    TH, n_tiles, Hp, OW, Wp = _geometry(H, W)
+    padded = jnp.pad(
+        imgs,
+        ((0, 0), (_HALO, Hp - H + _HALO), (_CPAD, Wp - W - _CPAD)),
+        mode="edge")
+    kernel = functools.partial(
+        _kernel_batched, TH=TH, OW=OW, threshold=float(threshold),
+        n_tiles=n_tiles, with_nms=with_nms)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, TH, OW), lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Hp, OW), imgs.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, TH + 2 * _HALO, Wp), imgs.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(padded)
+    return out[:, :H, :W]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "threshold", "interpret", "with_nms"))
+def fast_score_map_pallas(
+    img: jnp.ndarray, threshold: float, interpret: bool = False,
+    with_nms: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for ops.fast.fast_score_map on TPU; with
+    with_nms=True it fuses nms3x3 as well.
+
+    vmap-safe: a custom batching rule maps one level of vmap onto the
+    batch-gridded kernel (multicam's per-lane vmap) instead of the
+    generic pallas batching rule, which cannot block an ANY-space
+    manually-DMA'd operand."""
+
+    @jax.custom_batching.custom_vmap
+    def call(x):
+        return _call_single(x, threshold, with_nms, interpret)
+
+    @call.def_vmap
+    def _rule(axis_size, in_batched, xs):  # noqa: ANN001 — jax API
+        del axis_size, in_batched
+        return _call_batched(xs, threshold, with_nms, interpret), True
+
+    return call(img)

@@ -93,15 +93,37 @@ def _resize_gray(gray: np.ndarray, scale: float) -> np.ndarray:
         return out.astype(gray.dtype)
 
 
-def _config_from_calibration(pkt: dict) -> EngineConfig:
-    cam = pkt["camera"]
+def _scaled_calibration(pkt: dict) -> dict:
+    """Copy of the calibration packet with image_scale already applied
+    to the camera dims/intrinsics (and image_scale normalized to 1.0).
+
+    EVERY config_factory — default or caller-supplied — receives this
+    pre-scaled packet, so a factory that ignores image_scale can no
+    longer end up with resized frames against unscaled geometry
+    (ADVICE r4). Mirrors ORB_SLAM3's Settings, which scales intrinsics
+    by imageScale internally before the system ever sees them."""
     s = _image_scale(pkt)
-    # ORB_SLAM3's Settings scales intrinsics by imageScale internally;
-    # the engine sees the resized geometry.
+    if s == 1.0:
+        return pkt
+    cam = dict(pkt.get("camera", {}))
+    for k in ("fx", "fy", "cx", "cy"):
+        if k in cam:
+            cam[k] = float(cam[k]) * s
+    for k in ("width", "height"):
+        if k in cam:
+            cam[k] = int(int(cam[k]) * s)
+    cam["image_scale"] = 1.0
+    out = dict(pkt)
+    out["camera"] = cam
+    return out
+
+
+def _config_from_calibration(pkt: dict) -> EngineConfig:
+    cam = pkt["camera"]   # already pre-scaled by _scaled_calibration
     return EngineConfig(camera=CameraConfig(
-        width=int(int(cam["width"]) * s), height=int(int(cam["height"]) * s),
-        fx=float(cam["fx"]) * s, fy=float(cam["fy"]) * s,
-        cx=float(cam["cx"]) * s, cy=float(cam["cy"]) * s,
+        width=int(cam["width"]), height=int(cam["height"]),
+        fx=float(cam["fx"]), fy=float(cam["fy"]),
+        cx=float(cam["cx"]), cy=float(cam["cy"]),
         k1=float(cam.get("k1", 0.0)), k2=float(cam.get("k2", 0.0)),
         p1=float(cam.get("p1", 0.0)), p2=float(cam.get("p2", 0.0)),
         k3=float(cam.get("k3", 0.0)), fps=float(cam.get("fps", 30.0)),
@@ -176,7 +198,8 @@ class BackendClient:
                         # (Re)build the engine — the reference backend
                         # reconstructs ORB_SLAM3::System the same way,
                         # discarding the old map (…cc:477-519).
-                        self.system = System(self._config_factory(pkt))
+                        self.system = System(
+                            self._config_factory(_scaled_calibration(pkt)))
                         self.image_scale = _image_scale(pkt)
                         self.track_times = []
                         if os.environ.get("SLAM_SKIP_WARMUP") != "1":

@@ -157,7 +157,9 @@ class TexturedWorld:
                  fx=520.0, fy=520.0, tex_size=768, depth=8.0,
                  half_w=5.0, half_h=3.5, noise_sigma=0.0,
                  gain_jitter=0.0, blur_sigma=0.0,
-                 vignette=0.0, occluder=0.0):
+                 vignette=0.0, occluder=0.0,
+                 exposure_step_every=0, exposure_step=0.25,
+                 rolling_shutter=0.0, rs_bands=8, fg_boxes=0):
         rng = np.random.default_rng(seed)
         self.W, self.H = width, height
         self.fx, self.fy = fx, fy
@@ -184,10 +186,30 @@ class TexturedWorld:
         # operator also doesn't start mapping behind a person).
         self.occluder = occluder
         self.occluder_start = 30
+        # Auto-exposure STEPS (vs. the gain_jitter random walk): every
+        # ``exposure_step_every`` frames the AE controller "snaps" —
+        # the log-gain jumps by +-exposure_step in one frame, then the
+        # drift dynamics pull it back. Real AE does exactly this when
+        # a bright/dark region enters the view; BRIEF comparisons are
+        # invariant to pure gain, but FAST thresholds and the blur/
+        # noise interaction are not.
+        self.exposure_step_every = exposure_step_every
+        self.exposure_step = exposure_step
+        # Rolling shutter: fraction of the inter-frame motion spanned
+        # by the readout (0 = global shutter, 1 = readout takes a full
+        # frame interval). Rendered EXACTLY: the image is split into
+        # rs_bands horizontal bands, each ray-cast from the camera
+        # pose interpolated at its band's readout time between the
+        # previous delivered pose and the current one (top rows read
+        # earliest) — real skew/wobble, not a post-hoc shear.
+        self.rolling_shutter = rolling_shutter
+        self.rs_bands = rs_bands
+        self._prev_Rt = None
         self._frame_no = 0
         self._log_gain = 0.0
         self._rng = rng
-        self.tex = [_value_noise_texture(tex_size, rng) for _ in range(5)]
+        self.tex = [_value_noise_texture(tex_size, rng)
+                    for _ in range(5 + fg_boxes)]
         self.ts_ = tex_size
         d, hw, hh = depth, half_w, half_h
         # (p0, e1, e2, extent1, extent2): x = p0 + a*e1 + b*e2,
@@ -202,6 +224,21 @@ class TexturedWorld:
             (np.array([hw, 0, d / 2]), ey, ez, hh, d),      # right wall
             (np.array([-hw, 0, d / 2]), ey, ez, hh, d),     # left wall
         ]
+        # Foreground boxes: camera-facing textured panels at mid-depth
+        # — PARALLAX DISCONTINUITIES. Their edges occlude/disocclude
+        # background texture as the camera moves (the depth-edge
+        # statistics real indoor scenes have and single-shell rooms
+        # lack): corners detected ON the discontinuity sit at two
+        # depths and must be rejected or resolved by the epipolar
+        # gates, and matching must survive background features
+        # appearing/vanishing behind the box.
+        for _ in range(fg_boxes):
+            bx = rng.uniform(-0.5 * hw, 0.5 * hw)
+            by = rng.uniform(-0.4 * hh, 0.4 * hh)
+            bz = rng.uniform(0.35 * d, 0.6 * d)
+            self.planes.append(
+                (np.array([bx, by, bz]), ex, ey,
+                 rng.uniform(0.3, 0.7), rng.uniform(0.25, 0.5)))
 
     def K(self):
         return np.array([[self.fx, 0, self.cx],
@@ -225,23 +262,25 @@ class TexturedWorld:
         return (t00 * (1 - fu) * (1 - fv) + t01 * fu * (1 - fv)
                 + t10 * (1 - fu) * fv + t11 * fu * fv)
 
-    def render(self, R, t):
-        """Render from camera (R, t) (camera-from-world), f32 (H, W)."""
+    def _cast(self, R, t, row0, row1):
+        """Exact ray-cast of rows [row0, row1) from pose (R, t);
+        returns (row1-row0, W) f32."""
+        nrow = row1 - row0
         c = -(R.T @ t).astype(np.float32)             # camera center, world
         Rwc = R.T.astype(np.float32)
         uu, vv = np.meshgrid(
             np.arange(self.W, dtype=np.float32) + 0.5,
-            np.arange(self.H, dtype=np.float32) + 0.5)
+            np.arange(row0, row1, dtype=np.float32) + 0.5)
         d_cam = np.stack([(uu - self.cx) / self.fx,
                           (vv - self.cy) / self.fy,
-                          np.ones_like(uu)], -1)      # (H,W,3)
-        d_w = (d_cam @ Rwc.T).reshape(-1, 3)          # (H*W,3)
+                          np.ones_like(uu)], -1)      # (nrow,W,3)
+        d_w = (d_cam @ Rwc.T).reshape(-1, 3)          # (nrow*W,3)
 
-        img = np.zeros(self.H * self.W, np.float32)
-        best_s = np.full(self.H * self.W, np.inf, np.float32)
+        img = np.zeros(nrow * self.W, np.float32)
+        best_s = np.full(nrow * self.W, np.inf, np.float32)
         for tex, (p0, e1, e2, x1, x2) in zip(self.tex, self.planes):
             n = np.cross(e1, e2).astype(np.float32)
-            denom = d_w @ n                           # (H*W,)
+            denom = d_w @ n                           # (nrow*W,)
             num = np.float32((p0 - c) @ n)
             with np.errstate(divide="ignore", invalid="ignore"):
                 s = num / denom
@@ -258,7 +297,37 @@ class TexturedWorld:
                 continue
             img[idx] = self._sample(tex, a[inb], b[inb], x1, x2)
             best_s[idx] = s[idx]
-        img = img.reshape(self.H, self.W)
+        return img.reshape(nrow, self.W)
+
+    def render(self, R, t):
+        """Render from camera (R, t) (camera-from-world), f32 (H, W)."""
+        rs = self.rolling_shutter
+        if rs > 0 and self._prev_Rt is not None:
+            # Rolling shutter: band b's rows are read at time
+            # t_cur - readout*(1 - (b+.5)/B); interpolate the pose
+            # between the previous delivered pose and the current one
+            # (small inter-frame motion: linear blend of centers +
+            # SVD-orthonormalized rotation blend is exact to O(dθ²)).
+            R0, t0 = self._prev_Rt
+            c0 = -(R0.T @ t0)
+            c1 = -(R.T @ t)
+            B = self.rs_bands
+            bounds = np.linspace(0, self.H, B + 1).astype(int)
+            rows = []
+            for b in range(B):
+                alpha = 1.0 - rs * (1.0 - (b + 0.5) / B)
+                Rb_w = (1 - alpha) * R0.T + alpha * R.T
+                U, _, Vt = np.linalg.svd(Rb_w)
+                Rb_w = U @ Vt
+                cb = (1 - alpha) * c0 + alpha * c1
+                Rb = Rb_w.T
+                tb = -Rb @ cb
+                rows.append(self._cast(Rb, tb, bounds[b], bounds[b + 1]))
+            img = np.concatenate(rows, axis=0)
+        else:
+            img = self._cast(R, t, 0, self.H)
+        self._prev_Rt = (np.asarray(R, np.float64).copy(),
+                         np.asarray(t, np.float64).copy())
         if self.occluder > 0 and self._frame_no >= self.occluder_start:
             # One crossing every 120 frames: the panel's center sweeps
             # x from -w/2 to W+w/2 over 40 frames, then absent for 80.
@@ -283,11 +352,21 @@ class TexturedWorld:
         if self.blur_sigma > 0:
             from scipy.ndimage import gaussian_filter
             img = gaussian_filter(img, self.blur_sigma)
-        if self.gain_jitter > 0:
+        if self.exposure_step_every > 0 \
+                and self._frame_no % self.exposure_step_every == 0 \
+                and self._frame_no > self.occluder_start // 2:
+            # AE snap: a one-frame log-gain jump (sign alternates so
+            # the walk stays bounded); the drift dynamics below decay
+            # it back over the following frames.
+            sign = 1.0 if (self._frame_no // self.exposure_step_every) \
+                % 2 == 0 else -1.0
+            self._log_gain = float(np.clip(
+                self._log_gain + sign * self.exposure_step, -0.45, 0.45))
+        if self.gain_jitter > 0 or self.exposure_step_every > 0:
             self._log_gain = float(np.clip(
                 0.95 * self._log_gain
-                + self._rng.normal(0, self.gain_jitter),
-                -0.35, 0.35))
+                + self._rng.normal(0, max(self.gain_jitter, 1e-9)),
+                -0.45, 0.45))
             img = img * np.exp(self._log_gain)
         if self.noise_sigma > 0:
             img = img + self._rng.normal(0, self.noise_sigma, img.shape)

@@ -1,5 +1,6 @@
 """Pallas kernels vs their jnp oracles (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,3 +46,21 @@ class TestFastKernel:
             jnp.asarray(img), 12.0, interpret=True, with_nms=True))
         np.testing.assert_allclose(got[4:-4, 4:-4], ref[4:-4, 4:-4],
                                    atol=1e-5)
+
+    def test_vmap_batches_onto_batched_grid(self):
+        """vmap(fast_score_map_pallas) must be BIT-identical to the
+        single-image kernel per batch row: the custom batching rule
+        maps one vmap level onto the (B, n_tiles) grid — the generic
+        pallas rule cannot block an ANY-space manually-DMA'd operand
+        and failed to lower on the real chip (multicam's per-lane
+        vmap over make_frame, round-5 TPU lane run)."""
+        imgs = jnp.stack([jnp.asarray(texture(120, 160, seed=s))
+                          for s in (1, 2, 3)])
+        for nms in (False, True):
+            batched = np.asarray(jax.vmap(
+                lambda x: fast_score_map_pallas(
+                    x, 14.0, interpret=True, with_nms=nms))(imgs))
+            for k in range(imgs.shape[0]):
+                single = np.asarray(fast_score_map_pallas(
+                    imgs[k], 14.0, interpret=True, with_nms=nms))
+                np.testing.assert_array_equal(batched[k], single)
