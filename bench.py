@@ -207,6 +207,13 @@ def main() -> None:
                     t_first_ok = time.perf_counter() - t_seq0
                 est_ts.append(out.timestamp)
                 est_pos.append(out.position)
+            # Late-emitted poses of EARLIER frames (init-commit
+            # backfill + collapse-probe hold flushes): real measured
+            # poses of real frames, counted toward coverage/ATE.
+            for bts, bpos, _bq in out.backfill:
+                n_ok += 1
+                est_ts.append(bts)
+                est_pos.append(bpos)
         # Shutdown drain: the last pipeline_depth frames are still in
         # flight when the sequence ends; their poses are real (the
         # reference's shutdown dump flushes everything it processed).
@@ -216,7 +223,15 @@ def main() -> None:
                 n_ok += 1
                 est_ts.append(out.timestamp)
                 est_pos.append(out.position)
+            for bts, bpos, _bq in out.backfill:
+                n_ok += 1
+                est_ts.append(bts)
+                est_pos.append(bpos)
         gt_pos = [-R.T @ t for R, t in zip(Rs, tls)]
+        if est_ts:   # backfill poses arrive late: restore time order
+            order = np.argsort(np.asarray(est_ts), kind="stable")
+            est_ts = [est_ts[i] for i in order]
+            est_pos = [est_pos[i] for i in order]
         ate = (ate_rmse(est_ts, np.asarray(est_pos), ts, np.asarray(gt_pos))
                if len(est_pos) >= 3 else float("inf"))
         kts, kpos, _ = sys_.keyframe_poses()
@@ -429,6 +444,20 @@ def main() -> None:
                       if len(tt) else -1.0,
             "max_ms": round(float(tt.max()) * 1e3, 2) if len(tt) else -1.0,
         })
+        # SLAM_BENCH_TIMELINE=path: per-frame forensics for the tail
+        # (dt series + states + inliers + KF/loop event timestamps) —
+        # correlate p99/max spikes with insert/polish/loop events.
+        tl_path = os.environ.get("SLAM_BENCH_TIMELINE")
+        if tl_path:
+            np.savez(tl_path,
+                     dt_ms=np.asarray(run["t_track"]) * 1e3,
+                     states=np.asarray(run["states"]),
+                     inliers=np.asarray(run["inl"]),
+                     kf_ts=np.asarray([k[0] for k in sys_._kf_trajectory]),
+                     loop_kf_slot=np.asarray(
+                         [a[0] for a in sys_.loop_attempts]
+                         if sys_.loop_attempts else []))
+            print(f"# timeline -> {tl_path}", file=sys.stderr)
     if len(ate_by_seed) > 1:
         ates = sorted(v[0] for v in ate_by_seed.values())
         kfs = sorted(v[1] for v in ate_by_seed.values())

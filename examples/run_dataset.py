@@ -49,9 +49,20 @@ def main() -> None:
             n_ok += 1
             est_ts.append(out.timestamp)
             est_pos.append(out.position)
+        # Late-emitted poses of earlier frames (init-commit backfill,
+        # collapse-probe hold flush) — real poses, counted like the
+        # live ones.
+        for bts, bpos, _bq in out.backfill:
+            n_ok += 1
+            est_ts.append(bts)
+            est_pos.append(bpos)
         if args.max_frames and n >= args.max_frames:
             break
     wall = time.perf_counter() - t0
+    if est_ts:   # backfill arrives late: restore time order for ATE
+        order = np.argsort(np.asarray(est_ts), kind="stable")
+        est_ts = [est_ts[i] for i in order]
+        est_pos = [est_pos[i] for i in order]
 
     print(f"frames: {n}, tracked: {n_ok}, "
           f"{n / wall:.1f} fps, keyframes: {int(slam.map.n_kf)}, "

@@ -243,6 +243,18 @@ class TrackingConfig:
     # measured match-support-vs-parallax sweet spot (n_good 159 at
     # gap 7, 21 at gap 21 on the bench arc).
     init_ref_gaps: tuple = (2, 4, 8, 12)
+    # Trajectory backfill at init commit (round 5): the frames between
+    # the committed pair are still in the init cache with descriptors
+    # extracted — ONE vmapped tracking dispatch recovers their poses
+    # against the fresh map and emits them late through
+    # TrackOutput.backfill (the pipeline already emits every pose one
+    # frame late; these arrive one COMMIT late). They are real
+    # measured poses, ride the collapse-probe hold like the commit
+    # frame's own pose, and close part of the coverage gap a cautious
+    # certification gate opens (the reference emits nothing for those
+    # frames either — it just certifies less and pays the round-4
+    # accuracy tail instead).
+    init_backfill: bool = True
     # Legacy probation knob (no effect since round 5 — kept so stored
     # configs and __graft_entry__ kwargs keep loading): multi-ref
     # scoring commits the best certified pair immediately.

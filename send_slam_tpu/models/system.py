@@ -51,7 +51,7 @@ import numpy as np
 
 from send_slam_tpu.config import EngineConfig
 from send_slam_tpu.geometry.se3 import (
-    quat_from_rotmat, se3_compose, se3_inverse,
+    quat_from_rotmat, se3_compose, se3_inverse, so3_exp, so3_log,
 )
 from send_slam_tpu.io.protocol import (
     TRACKING_LOST, TRACKING_NOT_INITIALIZED, TRACKING_NO_IMAGES_YET,
@@ -113,6 +113,14 @@ class TrackOutput(NamedTuple):
     # Diagnostics riding the same lagged summary (no extra fetch):
     # live landmark count at dispatch time (-1 when unknown).
     n_landmarks: int = -1
+    # Late-emitted poses of EARLIER frames: (timestamp, position,
+    # orientation) triples. Two producers: init-commit trajectory
+    # backfill (frames between the committed pair, tracked against the
+    # fresh map) and the collapse-probe hold flush (poses withheld
+    # while the young-map probe was pending). Consumers that only care
+    # about the live pose can ignore it; trajectory consumers (bench,
+    # TUM dump) should append these like regular poses.
+    backfill: tuple = ()
 
 
 class System:
@@ -170,15 +178,36 @@ class System:
             return res, probes.reshape(-1)        # (K*7,) — one fetch
         self._init_multi = jax.jit(_init_multi)
 
-        def _track_step(m: MapState, R_pred, t_pred, frame: Frame, radius):
-            return track_frame(
-                R_pred, t_pred,
-                m.lm_pos, m.lm_desc, m.lm_valid,
-                frame.uv_und, frame.feat.desc, frame.feat.valid,
-                frame.feat.octave,
-                cam.fx, cam.fy, cam.cx, cam.cy, cam.width, cam.height,
-                tr, scale_factor=orb.scale_factor, search_radius=radius)
-        self._track_step = jax.jit(_track_step, static_argnames=("radius",))
+        # Init-commit trajectory backfill (TrackingConfig.init_backfill):
+        # the cached frames between the committed pair, tracked against
+        # the fresh two-KF map in ONE vmapped dispatch. Pose priors are
+        # the geodesic interpolation of the pair's relative pose at
+        # each frame's time fraction; tracking's own two-pass
+        # projection matching + GN does the rest. Output rides one
+        # (B, 8) bundle — [twc(3), quat(4), n_inliers(1)] — so the
+        # host pays ONE fetch for the whole batch.
+        self._n_backfill = max(max(tr.init_ref_gaps) - 1, 1)
+
+        def _backfill_step(m: MapState, R_cur, t_cur, alphas, frames):
+            phi = so3_log(R_cur)
+
+            def one(alpha, frame: Frame):
+                R_pred = so3_exp(alpha * phi)
+                t_pred = alpha * t_cur
+                r = track_frame(
+                    R_pred, t_pred,
+                    m.lm_pos, m.lm_desc, m.lm_valid,
+                    frame.uv_und, frame.feat.desc, frame.feat.valid,
+                    frame.feat.octave,
+                    cam.fx, cam.fy, cam.cx, cam.cy,
+                    cam.width, cam.height,
+                    tr, scale_factor=orb.scale_factor)
+                Rwc, twc = se3_inverse(r.R, r.t)
+                q = quat_from_rotmat(Rwc)
+                return jnp.concatenate(
+                    [twc, q, r.n_inliers.astype(jnp.float32)[None]])
+            return jax.vmap(one)(alphas, frames)
+        self._backfill_step = jax.jit(_backfill_step)
         self._update_stats = jax.jit(update_landmark_stats)
 
         from send_slam_tpu.models.covisibility import (
@@ -666,6 +695,13 @@ class System:
         init_res = jax.tree_util.tree_map(lambda x: x[0], res_m)
         m = tick("bootstrap_map",
                  self._bootstrap_map(self.map, frame, frame, init_res))
+        B_BF = self._n_backfill
+        bf_frames = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * B_BF), frame)
+        _bf = tick("backfill_step",
+                   self._backfill_step(m, init_res.R, init_res.t,
+                                       jnp.zeros((B_BF,), jnp.float32),
+                                       bf_frames))
 
         # CRITICAL SET vs TAIL (VERDICT r3 next-round #3, measured cold
         # on the axon TPU): the frame loop only needs make_frame /
@@ -818,6 +854,9 @@ class System:
         # Poses produced while the collapse probe is pending: flushed
         # into _trajectory on pass, discarded with the map on fail.
         self._held_outputs: List[tuple] = []
+        # Late poses awaiting attachment to the next OK output's
+        # backfill field (init backfill + probe-hold flushes).
+        self._backfill_pending: List[tuple] = []
         # Rolling raw-frame cache (host references, zero copies): a
         # failed collapse probe re-attempts init IMMEDIATELY across
         # these instead of waiting for new frames (see _process_lagged).
@@ -923,8 +962,10 @@ class System:
                 self._last_out = out
                 return out
             self._trajectory.append((timestamp, pos, quat))
+            bf = tuple(self._backfill_pending)
+            self._backfill_pending = []
             out = TrackOutput(TRACKING_OK, pos, quat,
-                              self._last_inliers, timestamp)
+                              self._last_inliers, timestamp, backfill=bf)
             self._last_out = out
             return out
         return TrackOutput(self.state, None, None, 0, timestamp)
@@ -953,6 +994,7 @@ class System:
         self._init_best = None
         self._init_prev_cands = None
         self._init_tdir_rejects = 0
+        cached = list(self._init_frames)   # for backfill, below
         self._init_frames.clear()
         self.init_commit_ts = timestamp    # session-relative ("seq time")
         t0 = self._t0 or 0.0
@@ -978,6 +1020,39 @@ class System:
         self._collapse_active = (
             tr.init_collapse_frac > 0.0
             and self._collapse_resets < tr.init_collapse_max_resets)
+
+        # Trajectory backfill (TrackingConfig.init_backfill): track the
+        # cached frames strictly between the committed pair against the
+        # fresh map and emit their poses late. One vmapped dispatch,
+        # one (B, 8) fetch. The poses ride the collapse-probe hold
+        # exactly like the commit frame's own pose: flushed into the
+        # output stream on probe pass, discarded with a dead map.
+        ts_ref_rel = ts_ref - t0
+        ts_cur_rel = ts_cur - t0
+        between = [(tf, f) for tf, f in cached
+                   if ts_ref_rel < tf < ts_cur_rel]
+        if tr.init_backfill and between:
+            B = self._n_backfill
+            between = between[-B:]
+            span = max(ts_cur_rel - ts_ref_rel, 1e-6)
+            alphas = np.zeros((B,), np.float32)
+            alphas[:len(between)] = [
+                (tf - ts_ref_rel) / span for tf, _ in between]
+            frames = [f for _, f in between]
+            frames += [frames[-1]] * (B - len(frames))   # pad: static B
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *frames)
+            bundle = np.asarray(self._backfill_step(
+                self.map, res.R, res.t, jnp.asarray(alphas), stacked))
+            sink = (self._held_outputs if self._collapse_active
+                    else self._backfill_pending)
+            for k, (tf, _f) in enumerate(between):
+                if bundle[k, 7] >= tr.min_track_matches:
+                    sink.append((t0 + tf, bundle[k, 0:3].copy(),
+                                 bundle[k, 3:7].copy()))
+            if not self._collapse_active:
+                for item in self._backfill_pending:
+                    self._trajectory.append(item)
 
     def _try_initialize(self, frame: Frame, timestamp: float) -> None:
         """Multi-reference batched two-view init (round 5).
@@ -1196,10 +1271,14 @@ class System:
             self._ready.append(self._process_lagged())
         if self._ready:
             return self._ready.pop(0)
-        # Pipeline warming up: repeat the last known output verbatim
-        # (with ITS timestamp — re-stamping a stale pose corrupts
-        # trajectory evaluation).
+        # Pipeline warming up: repeat the last known output (with ITS
+        # timestamp — re-stamping a stale pose corrupts trajectory
+        # evaluation) but WITHOUT its backfill tuple: late poses are
+        # one-shot, and repeating them double-counts the trajectory
+        # (caught by a sweep seed reporting 96/90 frames tracked).
         if self._last_out is not None:
+            if self._last_out.backfill:
+                self._last_out = self._last_out._replace(backfill=())
             return self._last_out
         # No output yet this session (e.g. right after a collapse-retry
         # commit): never claim TRACKING_OK without a pose — consumers
@@ -1302,10 +1381,13 @@ class System:
                 # loops in a degenerate world, not to disarm the
                 # detector for the rest of a long session (or, when a
                 # harness reuses one System across worlds, for every
-                # later world).
+                # later world). The held poses flush into BOTH the
+                # stored trajectory and this frame's output stream
+                # (TrackOutput.backfill) so live consumers see them.
                 self._collapse_resets = 0
                 for hts, hpos, hquat in self._held_outputs:
                     self._trajectory.append((hts, hpos, hquat))
+                    self._backfill_pending.append((hts, hpos, hquat))
                 self._held_outputs = []
 
         self._maybe_close_loop()
@@ -1326,8 +1408,10 @@ class System:
             return out
 
         self._trajectory.append((ts, pos, quat))
+        bf = tuple(self._backfill_pending)
+        self._backfill_pending = []
         out = TrackOutput(TRACKING_OK, pos, quat, n_inl, ts,
-                          n_landmarks=int(s[S_NLM]))
+                          n_landmarks=int(s[S_NLM]), backfill=bf)
         self._last_out = out
         return out
 

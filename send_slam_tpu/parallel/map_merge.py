@@ -116,19 +116,28 @@ def multicam_merge_step(cfg, mesh):
     tr = cfg.tracking
 
     def sharded(maps: MapState, keys):
-        # Local block: (1, ...) per lane.
-        me = jax.tree.map(lambda x: x[0], maps)
-        key = keys[0]
-        n = jax.lax.axis_size("cam")
-        i = jax.lax.axis_index("cam")
-        all_pos = jax.lax.all_gather(me.lm_pos, "cam")       # (n,ML,3)
-        all_desc = jax.lax.all_gather(me.lm_desc, "cam")
-        all_valid = jax.lax.all_gather(me.lm_valid, "cam")
-        j = (i + 1) % n
-        m2, ok, n_imp = merge_from_partner(
-            me, all_pos[j], all_desc[j], all_valid[j], key, tr)
-        out = jax.tree.map(lambda x: x[None], m2)
-        return out, ok[None], n_imp[None]
+        # Local block: (L, ...) — the lanes on THIS device. L is 1 on
+        # a lane-per-chip pod and n_lanes on a single chip (the shard
+        # body must not assume lanes == devices: the original
+        # maps[0]-only body silently merged lane 0 with itself and
+        # DROPPED lanes 1..7 on a 1-device TPU mesh — caught by the
+        # round-5 real-chip lane run). tiled all_gathers give every
+        # device the full (n_total, ...) fleet; each local lane k
+        # merges with its GLOBAL ring successor.
+        all_pos = jax.lax.all_gather(maps.lm_pos, "cam", tiled=True)
+        all_desc = jax.lax.all_gather(maps.lm_desc, "cam", tiled=True)
+        all_valid = jax.lax.all_gather(maps.lm_valid, "cam", tiled=True)
+        n = all_valid.shape[0]
+        L = maps.lm_valid.shape[0]
+        base = jax.lax.axis_index("cam") * L
+
+        def one(k, key):
+            me = jax.tree.map(lambda x: x[k], maps)
+            j = (base + k + 1) % n
+            return merge_from_partner(
+                me, all_pos[j], all_desc[j], all_valid[j], key, tr)
+
+        return jax.vmap(one)(jnp.arange(L), keys)
 
     fn = shard_map(
         sharded, mesh=mesh,

@@ -223,6 +223,16 @@ class BackendClient:
                         # resize + track, like the reference's t_track
                         # (…cc:593-618 ttrack incl. the resize window).
                         self.track_times.append(time.perf_counter() - t0)
+                        # Late poses (init backfill / probe-hold
+                        # flush) precede the live one, timestamps
+                        # their own — the reference host keys packets
+                        # by timestamp, not arrival order.
+                        for bts, bpos, bquat in out.backfill:
+                            writer.write(frame_packet_bytes(
+                                build_pose_packet(
+                                    float(bts),
+                                    int(pkt.get("camera_id", 0)),
+                                    TRACKING_OK, bpos, bquat)))
                         if out.tracking_state == TRACKING_OK:
                             pose = build_pose_packet(
                                 float(pkt.get("timestamp", 0.0)),

@@ -74,6 +74,14 @@ class EngineWorker:
                     gray.astype(np.float32), ev.timestamp)
                 self.timer.add("track_monocular", time.perf_counter() - t0)
                 self.frames_in += 1
+                # Late-emitted poses of earlier frames (init-commit
+                # backfill, collapse-probe hold flushes): published
+                # with their OWN timestamps before the live pose, so
+                # trajectory consumers see time order.
+                for bts, bpos, bquat in out.backfill:
+                    self.frames_tracked += 1
+                    self.bus.publish(topics.POSE, build_pose_packet(
+                        bts, ev.camera_id, TRACKING_OK, bpos, bquat))
                 if out.tracking_state == TRACKING_OK:
                     self.frames_tracked += 1
                     pkt = build_pose_packet(

@@ -122,3 +122,49 @@ class TestShardedMerge:
         # Each lane imported its ring neighbour's ~20 extras.
         imported = np.asarray(n_imp)
         assert (imported >= 10).all(), imported
+
+    def test_ring_merge_lanes_exceed_devices(self):
+        """4 lanes on a 1-device mesh must behave like 4 lanes on 4
+        devices: the shard body receives an (L, ...) block and merges
+        every local lane with its GLOBAL ring successor. The original
+        body assumed L == 1, merged lane 0 with itself and dropped the
+        rest — caught on the real single-chip TPU by the round-5 lane
+        run (scripts/tpu_lane_run.py)."""
+        from send_slam_tpu.parallel import init_multicam, make_mesh
+        n = 4
+        cfg = EngineConfig(
+            orb=OrbConfig(n_features=64, n_levels=2),
+            camera=CameraConfig(width=96, height=64, fx=60.0, fy=60.0,
+                                cx=48.0, cy=32.0),
+            map=MapConfig(max_keyframes=8, max_landmarks=256))
+        mesh = make_mesh(1, ("cam",))
+        state = init_multicam(cfg, n)
+        rng = np.random.default_rng(0)
+        shared = rng.uniform([-4, -3, 3], [4, 3, 9], (60, 3)).astype(np.float32)
+        sdesc = rng.integers(0, 2**32, (60, 8), dtype=np.uint32)
+        maps = state.maps
+        lm_pos = np.array(np.asarray(maps.lm_pos))
+        lm_desc = np.array(np.asarray(maps.lm_desc))
+        lm_valid = np.array(np.asarray(maps.lm_valid))
+        lm_ref = np.array(np.asarray(maps.lm_ref_kf))
+        for c in range(n):
+            extra = rng.uniform([-4, -3, 3], [4, 3, 9], (20, 3)).astype(np.float32)
+            edesc = rng.integers(0, 2**32, (20, 8), dtype=np.uint32)
+            lm_pos[c, :60] = shared
+            lm_pos[c, 60:80] = extra
+            lm_desc[c, :60] = sdesc
+            lm_desc[c, 60:80] = edesc
+            lm_valid[c, :80] = True
+            lm_ref[c, :80] = 0
+        maps = maps._replace(
+            lm_pos=jnp.asarray(lm_pos), lm_desc=jnp.asarray(lm_desc),
+            lm_valid=jnp.asarray(lm_valid), lm_ref_kf=jnp.asarray(lm_ref))
+
+        step = multicam_merge_step(cfg, mesh)
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+        maps2, ok, n_imp = step(maps, keys)
+        assert np.asarray(maps2.lm_valid).shape[0] == n
+        assert np.asarray(ok).shape == (n,)
+        assert np.asarray(ok).all()
+        imported = np.asarray(n_imp)
+        assert (imported >= 10).all(), imported

@@ -395,6 +395,35 @@ class TestMergeConsistency:
         assert sum(m_ < 1.5 for m_ in meds) >= len(meds) - 3, meds
         assert float(np.median(fracs)) > 0.25, fracs
 
+        # --- per-lane TRAJECTORY ATE (VERDICT r4 next #5): landmark
+        # structure at 160x120/256 is a fat-tailed lottery, but the
+        # trajectories must be clean in every lane — the single-camera
+        # System on the worst-lane trajectory lands ~0.06 m residual
+        # even on a mediocre structure basin (repro_lane_vs_system).
+        # Sim3-aligned (monocular gauge), distribution-form bars like
+        # the structure check. Measured on this scenario (CPU, 8
+        # lanes): see the assertion values' margin note below.
+        lane_ates = []
+        for lane in range(n):
+            if len(est[lane]) < 3:
+                continue
+            e = np.stack([p for _, p in est[lane]])
+            g = np.stack([gts[lane][s] for s, _ in est[lane]])
+            s_l, R_l, t_l = umeyama_alignment(e, g, with_scale=True)
+            resid = (s_l * (R_l @ e.T)).T + t_l - g
+            lane_ates.append(
+                float(np.sqrt(np.mean(np.sum(resid ** 2, -1)))))
+        print("lane trajectory ATEs:", [f"{a:.4f}" for a in lane_ates])
+        assert len(lane_ates) == n, "a lane never tracked"
+        # Real-chip cross-check (scripts/tpu_lane_run.py ->
+        # MULTICAM_TPU_r05.json, TPU v5e, same scenario): median
+        # 0.048 m, worst lane 0.140 m over the 14-step run. Bars sit
+        # just above that draw; per-lane structure is a fat-tailed
+        # lottery at this resolution but the TRAJECTORIES must stay
+        # clean in every lane.
+        assert float(np.median(lane_ates)) < 0.08, lane_ates
+        assert max(lane_ates) < 0.25, lane_ates
+
         # --- (c) tracking survives the merged tables ------------------
         state = state._replace(maps=maps2)
         for s in range(n_steps, n_steps + 4):
