@@ -218,7 +218,7 @@ def main() -> None:
         # flight when the sequence ends; their poses are real (the
         # reference's shutdown dump flushes everything it processed).
         # Counted toward coverage/ATE, not toward frame timing.
-        for out in sys_._flush_pipeline():
+        for out in sys_._flush_pipeline(final=True):
             if out.tracking_state == 2:
                 n_ok += 1
                 est_ts.append(out.timestamp)

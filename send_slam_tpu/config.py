@@ -296,34 +296,50 @@ class TrackingConfig:
     # monotonically in every measured run: >= 0.8 -> clean (ATE
     # 0.014-0.054), <= 0.31 -> mediocre-to-bad (0.17-0.38), < 0.07 ->
     # catastrophic. The costs are asymmetric — a false reset re-rolls
-    # the init for ~20 frames, a false accept costs 0.2-0.4 ATE for
-    # the whole session — so the threshold sits mid-gap at 0.45. A
-    # camera that brakes >2x within the first half second after init
-    # pays one spurious re-init; set frac=0 to disable.
+    # the init for ~10-15 frames, a false accept costs 0.2-0.4 ATE for
+    # the whole session. Round 5 measured a ROTTEN init passing at
+    # ratio 0.474 (TPU seed 11 -> session ATE 0.34; raising the bar to
+    # 0.6 took it to 0.022), so the bad band extends to ~0.47 and the
+    # threshold sits at 0.6 — margin on both sides of the measured
+    # bad<=0.47 / healthy>=0.8 gap. A camera that brakes >1.7x within
+    # the first window after init pays one spurious re-init (cheap
+    # since the fail-fast cache retry); set frac=0 to disable.
     # While the probe is pending the engine HOLDS pose emission (the
     # caller sees "initializing"; ~window_s x fps frames once per
     # session, flushed into the trajectory on pass): emitting poses
     # that a failed probe would retract leaves the consumer a segment
     # in a dead map's gauge, which measured WORSE on stream ATE than
     # not resetting at all.
-    init_collapse_frac: float = 0.45
-    # Multiplier on the median-parallax acceptance floor per collapse
-    # reset. 1.0 (no boost) since round 5: the boost existed because
-    # the round-4 retry committed the best ACCEPTABLE pair with no
-    # certification, so the retry had to demand better conditioning or
-    # it re-committed the same pathology. The retry now goes through
-    # the same multi-ref t-dir + velocity-band certification as a
-    # normal init, which rejects rotten pairs directly — and the boost
-    # actively hurt: on seed-93 forensics, retry pairs with 300+ good
-    # points failed ONLY the boosted 1.2-deg floor, stalling
-    # certification ~25 frames (A/B boost 1.5 vs 1.0: tracked 45/90
-    # commit@1.233s/19 attempts vs 60/90 commit@0.733s/4 attempts,
-    # ATE healthy both ways). Values > 1 remain meaningful if the
-    # certification gates are disabled.
+    init_collapse_frac: float = 0.6
+    # Multiplier on the median-parallax acceptance floor, applied ONCE
+    # from the THIRD collapse reset onward (see _init_par_scale).
+    # DEFAULT 1.0 (boost disabled): every escalation point tried has
+    # measurably starved re-certification rather than improved the
+    # draw — from reset 1 (round-4 seed-93 A/B: tracked 45->60/90
+    # without it) AND from reset 3 (round-5 TPU seed 104: commits
+    # every ~0.35 s before the boost, then 1.73 s / 40+ attempts of
+    # failed certification after it, ending the 90-frame run mid-probe
+    # at 0/90). Mechanism both times: descriptor matching decays with
+    # the gap faster than parallax grows (n_good 159 at gap 7 / 1 deg
+    # vs 21 at gap 14 / 2 deg), so a raised floor prices out every
+    # matchable pair in the cache. The knob stays for worlds with
+    # denser texture where wider gaps still match.
     init_collapse_par_boost: float = 1.0
     init_collapse_window_s: float = 0.2
+    # Probe window for RETRY probes (resets >= 1): catastrophic ratios
+    # (0.005-0.17 measured) are detectable in ~3 frames; shortening
+    # the re-probe cuts a failed cycle from ~13 to ~10 frames. The
+    # FIRST probe keeps the full window — the grey zone (0.47 vs 0.8)
+    # needs the span to average out per-frame jitter.
+    init_collapse_retry_window_s: float = 0.1
     init_collapse_horizon_s: float = 1.5
-    init_collapse_max_resets: int = 3
+    # Reset budget before the probe disarms. Was 3 through round 5
+    # part 1 — and the disarm is a structural hole: the seeds that
+    # burn the whole budget are exactly the pathological ones, and
+    # their NEXT init committed unprobed (TPU seed 29: three resets,
+    # then an unprobed rotten commit -> session ATE 0.184). 5 with the
+    # cheap retry keeps worst-case hold time under ~55 frames.
+    init_collapse_max_resets: int = 5
     # Translation-direction consistency gate on init commits (round-4
     # TPU seed-11 forensics): at the bench's ~0.9 deg median init
     # parallax the E-matrix t-direction is a RANSAC lottery — four

@@ -764,6 +764,13 @@ class System:
                     jax.block_until_ready((m4, m3g, _ids, res_r, m5))
                 except Exception:
                     pass
+                # block_until_ready is a no-op on the axon relay (the
+                # one trustworthy sync is a real host fetch): drain the
+                # ~11 tail executions with one scalar fetch of the LAST
+                # dispatch, or they drain into the first real frames —
+                # measured as ~800 ms/frame for the first ~15 frames
+                # and an 11-14 s time-to-first-track (VERDICT r4 #2).
+                np.asarray(m5.n_kf)
             except Exception as e:  # noqa: BLE001 — backend transport
                 print(f"# warmup tail failed ({e!r}); affected programs "
                       "will compile lazily on first dispatch",
@@ -901,17 +908,20 @@ class System:
         self._try_initialize(cur, float(ts_cur))
 
     def _init_par_scale(self) -> float:
-        """Median-parallax floor multiplier for init acceptance after a
-        collapse reset (the failed commits all verified at the 0.8-1
-        deg minimum; the detector's evidence says that bar was too low
-        for THIS scene). Applied ONCE, not per reset: descriptor
-        matching decays with the gap faster than parallax grows
-        (measured on the bench arc: n_good 159 at gap 7 / 1 deg vs 21
-        at gap 14 / 2 deg), so a second boost step (1.8 deg) put the
-        floor past every matchable pair and deadlocked init for the
-        rest of the session (0/90). Cleared when a probe passes."""
+        """Median-parallax floor multiplier for init acceptance after
+        repeated collapse resets. Flat for the first two retries (the
+        certified retry is the fast path; boosting from reset 1
+        starved it — seed-93 A/B in config.py), one boost step from
+        the third (3+ consecutive probe failures = the scene's current
+        parallax regime itself draws rotten reconstructions, TPU
+        seed-29 forensics). Applied ONCE, never compounded:
+        descriptor matching decays with the gap faster than parallax
+        grows (n_good 159 at gap 7 / 1 deg vs 21 at gap 14 / 2 deg),
+        so a second step (1.8 deg) put the floor past every matchable
+        pair and deadlocked init for the rest of the session (0/90).
+        Cleared when a probe passes."""
         boost = self.cfg.tracking.init_collapse_par_boost
-        return float(boost) ** min(self._collapse_resets, 1)
+        return float(boost) ** min(max(self._collapse_resets - 2, 0), 1)
 
     # ------------------------------------------------------------------
 
@@ -1354,8 +1364,14 @@ class System:
             if age > tr.init_collapse_horizon_s:
                 self._collapse_active = False
             else:
+                # Retry probes use the short window: catastrophic
+                # ratios show in ~3 frames and the session is already
+                # suspect — cheapness beats grey-zone resolution.
+                win = (tr.init_collapse_retry_window_s
+                       if self._collapse_resets > 0
+                       else tr.init_collapse_window_s)
                 span = ts_rel - trc[0][0]
-                if span >= tr.init_collapse_window_s:
+                if span >= win:
                     v_est = float(np.linalg.norm(
                         trc[-1][1] - trc[0][1])) / span
                     ratio = v_est / max(self._init_v, 1e-9)
@@ -1415,7 +1431,7 @@ class System:
         self._last_out = out
         return out
 
-    def _flush_pipeline(self) -> List[TrackOutput]:
+    def _flush_pipeline(self, final: bool = False) -> List[TrackOutput]:
         """Drain in-flight frames (state transitions, shutdown).
 
         Returns the drained outputs (plus any outputs already sitting
@@ -1423,7 +1439,15 @@ class System:
         while the pipeline was in flight — a consumer that stops
         feeding frames (end of sequence, shutdown) still gets them,
         like the reference backend's shutdown trajectory dump flushes
-        everything it processed (orbslam3_mono_networked.cc:670)."""
+        everything it processed (orbslam3_mono_networked.cc:670).
+
+        ``final=True`` (session end, never the mid-session state-
+        transition call) additionally flushes poses HELD by a pending
+        collapse probe: the probe never *failed* — those poses are the
+        best estimate the session ever produced, and discarding them
+        because the sequence ended mid-probe wipes the whole session's
+        output when init committed late (TPU seed 104 forensics: a
+        commit at t=2.9 s of a 3.0 s run left 0/90 frames emitted)."""
         outs = list(self._ready)
         self._ready.clear()
         while self._pending:
@@ -1431,6 +1455,14 @@ class System:
                 self._pending.clear()
                 break
             outs.append(self._process_lagged())
+        if final and self._held_outputs:
+            bf = tuple((hts, hpos, hquat)
+                       for hts, hpos, hquat in self._held_outputs)
+            for item in self._held_outputs:
+                self._trajectory.append(item)
+            self._held_outputs = []
+            outs.append(TrackOutput(TRACKING_NOT_INITIALIZED, None, None,
+                                    0, bf[-1][0], backfill=bf))
         return outs
 
     def _relocalize(self, frame: Frame, timestamp: float) -> None:
@@ -1792,5 +1824,10 @@ class System:
         self._st = self._st._replace(
             ba_window=self._covis_window(self.map))
 
-    def shutdown(self) -> None:
-        pass
+    def shutdown(self) -> List[TrackOutput]:
+        """Final drain (reference: shutdown saves everything processed,
+        orbslam3_mono_networked.cc:670): flushes in-flight pipeline
+        frames AND collapse-probe-held poses into the trajectory, and
+        returns them for consumers that relay poses live. Idempotent —
+        a second call finds the queues empty."""
+        return self._flush_pipeline(final=True)
