@@ -799,6 +799,14 @@ class System:
     def reset(self) -> None:
         cfg = self.cfg
         self.session_resets += 1
+        # PRNG chain restarts with the session: without this, a run's
+        # RANSAC/retrieval draws depend on how many keys every PRIOR
+        # session consumed, so a sweep-position run could not be
+        # reproduced in isolation (round-5 forensics: sweep seed 17
+        # scored 0.296 after seed 11's session while the identical
+        # fresh run scored 0.0023 — different basin, pure key drift).
+        # Every run is now exactly replayable as a fresh System.
+        self._key = jax.random.PRNGKey(0)
         self.map: MapState = empty_map(cfg.map, cfg.orb.n_features)
         self.state = TRACKING_NO_IMAGES_YET
         # Session epoch: device timestamps are (t - _t0) so float32
