@@ -223,6 +223,20 @@ class TrackingConfig:
     # constrained coupling that can warp keyframe poses.
     wide_ba_covis_window: bool = True
     global_ba_slices: int = 8       # after a loop closure / map weld
+    # Young-map re-solve (round 5): once the session holds
+    # young_ba_at_kf keyframes, run young_ba_slices ONE-anchor recency
+    # BA slices (one-shot per map). Everywhere else BA fixes >= 2
+    # keyframes — correct for the marching window (monocular scale
+    # must stay pinned) but it FREEZES the committed two-view init's
+    # relative pose; a slightly-bent certified init (t-dir a few
+    # degrees off at ~1 deg parallax) then warps the whole session
+    # (round-5 TPU/CPU tail seeds: KF-warp with stream/kf scale
+    # parity). The one-anchor burst lets the accumulated multi-view
+    # observations re-solve KF1..n + structure; its transient scale
+    # freedom is harmless one-shot (the gauge re-pins at the next
+    # 2-anchor BA, and evaluation aligns in Sim3 anyway). 0 disables.
+    young_ba_at_kf: int = 4
+    young_ba_slices: int = 5
     # Two-view initializer
     init_ransac_iters: int = 512
     init_min_matches: int = 60

@@ -480,7 +480,8 @@ class System:
             dt = ta - dR @ tb
             return dR, dt
 
-        def _polish_slice(m: MapState, lam, prune, wcfg, window_ids=None):
+        def _polish_slice(m: MapState, lam, prune, wcfg, window_ids=None,
+                          n_fixed=2):
             """One wide/global BA iteration + the newest-KF delta and a
             device-side LARGE-DELTA flag. Small polish deltas are
             gauge-settling noise the next frame's pose GN absorbs;
@@ -495,7 +496,7 @@ class System:
             the last inter-keyframe baseline (scale-free)."""
             m2 = local_bundle_adjustment(
                 m, self._K, wcfg, iters=1, damping=lam, prune=prune,
-                window_ids=window_ids)
+                window_ids=window_ids, n_fixed=n_fixed)
             dR, dt = _newest_kf_delta(m, m2)
             cur = jnp.clip(m.n_kf - 1, 0, MK - 1)
             prev = jnp.clip(m.n_kf - 2, 0, MK - 1)
@@ -526,6 +527,21 @@ class System:
         self._wide_slice = jax.jit(_wide)
         self._global_slice = jax.jit(
             lambda m, lam, prune: _polish_slice(m, lam, prune, glob_cfg))
+        # Young-map re-solve (round 5): a ONE-anchor recency-window BA
+        # slice, run as a one-shot burst once the session holds a few
+        # keyframes. The two-view init's relative pose is frozen by the
+        # standard >=2-anchor policy (both init keyframes are the
+        # window's oldest slots, so a slightly-bent low-parallax init —
+        # t-dir off by a few degrees, certified and probe-passing —
+        # pins a bent gauge the rest of the session builds on; the
+        # round-5 TPU tail seeds 11/88 show exactly this: KF-warp with
+        # stream/kf alignment-scale parity). With ONE anchor the
+        # accumulated multi-view observations re-solve KF1..n and the
+        # structure; the transient scale freedom is harmless (one
+        # burst, and the mono gauge re-pins at the next 2-anchor BA).
+        self._young_slice = jax.jit(
+            lambda m, lam, prune: _polish_slice(m, lam, prune, wide_cfg,
+                                                n_fixed=1))
 
         def _rebase_st(st: LoopState, dR, dt):
             return st._replace(
@@ -734,6 +750,8 @@ class System:
                 kf_id = jnp.asarray(1, jnp.int32)
                 m3w, dR, dt, big = tick("wide_slice",
                                         self._wide_slice(m, lam, pr))
+                _m3y, _dRy, _dty, _bigy = tick(
+                    "young_slice", self._young_slice(m, lam, pr))
                 _st3 = tick("rebase_st_cond",
                             self._rebase_st_cond(st, dR, dt, big))
                 m3g, _dR, _dt, _big = tick("global_slice",
@@ -818,6 +836,10 @@ class System:
         self._n_kf_host = 0        # keyframes ever inserted (monotonic)
         self._slots_used = 0       # host mirror of device n_kf (lagged)
         self._pending_loop = None
+        # Optimistically-committed closure awaiting its sanity verdict
+        # (_resolve_loop_sanity). Dropped on reset: the map it judges
+        # is discarded with the session.
+        self._pending_loop_sanity = None
         self._loop_consistency = None   # (last candidate slot, run length)
         self.loop_attempts: List[tuple] = []
         # Applied-closure cooldown anchor (TrackingConfig.loop_cooldown_kf).
@@ -829,6 +851,8 @@ class System:
         # Wide/global polish queue: (kind, lam, prune) slices, one
         # dispatched per frame.
         self._polish_queue: List[tuple] = []
+        # One-shot young-map one-anchor re-solve (see _young_slice).
+        self._young_polish_done = False
         self._compact_cooldown = 0
         self._committed_ref = None  # last committed init's ref Frame
         # Multi-reference init state (see _try_initialize): rolling
@@ -1245,7 +1269,9 @@ class System:
         # dispatch (device work only — never blocks the host).
         if self._polish_queue:
             kind, lam, prune = self._polish_queue.pop(0)
-            step = self._wide_slice if kind == "wide" else self._global_slice
+            step = {"wide": self._wide_slice,
+                    "global": self._global_slice,
+                    "young": self._young_slice}[kind]
             self.map, dR, dt, big = step(
                 self.map, jnp.asarray(lam, jnp.float32), jnp.asarray(prune))
             # Rebase the speculative chain ONLY on a large WIDE-polish
@@ -1258,7 +1284,7 @@ class System:
             # settling deltas double-correct and worsen the revisit
             # (round-3 A/B: revisit ATE 0.013 -> 0.068 with the guard
             # on global slices).
-            if kind == "wide":
+            if kind in ("wide", "young"):
                 self._st = self._rebase_st_cond(self._st, dR, dt, big)
 
         arr = jnp.asarray(gray)
@@ -1463,6 +1489,10 @@ class System:
                 self._pending.clear()
                 break
             outs.append(self._process_lagged())
+        # An optimistic loop commit must not outlive the pipeline
+        # unjudged (state transitions and shutdown both land here):
+        # keyframe_poses()/map readers see the committed map.
+        self._resolve_loop_sanity()
         if final and self._held_outputs:
             bf = tuple((hts, hpos, hquat)
                        for hts, hpos, hquat in self._held_outputs)
@@ -1531,6 +1561,7 @@ class System:
         cadence — and every dispatch downstream of it — must be
         run-deterministic, not fetch-RTT-dependent (round-2 variance
         source)."""
+        self._resolve_loop_sanity()            # phase 3 of a PRIOR apply
         if self._pending_loop is None:
             return
         tr = self.cfg.tracking
@@ -1584,37 +1615,75 @@ class System:
             self._pending_loop
         self._pending_loop = None
         verified = bool(ok_fut.result())
+        if not verified:
+            self.loop_attempts.append(
+                (int(kf_slot), int(cand_fut.result()), score, False, None))
+            return
+        # Verified: dispatch the correction and commit OPTIMISTICALLY.
+        # The sanity medians ride a background fetch and are judged at
+        # the NEXT drained frame (phase 3) — synchronously fetching
+        # them here serialized the frame loop on the full loop-apply
+        # execution + RTT (the round-4 long bench's worst frame-time
+        # events, max 1426 ms). Sanity rejections are rare (the score
+        # band / starved-KF / scale-band guards run first), so the
+        # optimistic path is almost always right; on a rejection the
+        # pre-apply map snapshot is restored and the chain inverse-
+        # rebased, at the cost of one frame's map evolution — cheaper
+        # than stalling every applied closure.
+        kf_prev = jnp.asarray(kf_slot, jnp.int32)
+        m_pre = self.map
+        m2, dR, dt, med_b, med_a = self._loop_apply(
+            self.map, kf_prev, cand_prev, loop)
+        self.map = m2
+        self._st = self._rebase_st(self._st, dR, dt)
+        self._pending_loop_sanity = dict(
+            kf_slot=int(kf_slot), cand_prev=cand_prev,
+            cand_top=int(cand_fut.result()), score=score,
+            m_pre=m_pre, dR=dR, dt=dt,
+            med_fut=self._fetch_pool.submit(
+                lambda a, b: (np.asarray(a), np.asarray(b)),
+                med_b, med_a))
+
+    def _resolve_loop_sanity(self) -> None:
+        """Phase 3 of _maybe_close_loop: judge the post-correction
+        reprojection sanity of an optimistically-committed closure —
+        a Sim3-verified candidate can still warp the whole map when
+        its PGO edge contradicts the chain (round-3 branch spree:
+        per-KF error ~0.6 everywhere after the late closures)."""
+        if self._pending_loop_sanity is None:
+            return
+        tr = self.cfg.tracking
+        p = self._pending_loop_sanity
+        self._pending_loop_sanity = None
+        med_b, med_a = (float(x) for x in p["med_fut"].result())
+        sane = (not np.isfinite(med_a)) or med_a <= max(
+            tr.loop_sanity_px,
+            tr.loop_sanity_factor * max(med_b, 1e-6))
         applied = None
-        if verified:
-            kf_prev = jnp.asarray(kf_slot, jnp.int32)
-            m2, dR, dt, med_b, med_a = self._loop_apply(
-                self.map, kf_prev, cand_prev, loop)
-            # Post-correction sanity gate (blocking read, loop-rate):
-            # commit only if the corrected map still reprojects — a
-            # Sim3-verified candidate can still warp the whole map when
-            # its PGO edge contradicts the chain (round-3 branch spree:
-            # per-KF error ~0.6 everywhere after the late closures).
-            med_b = float(np.asarray(med_b))
-            med_a = float(np.asarray(med_a))
-            sane = (not np.isfinite(med_a)) or med_a <= max(
-                tr.loop_sanity_px,
-                tr.loop_sanity_factor * max(med_b, 1e-6))
-            if sane:
-                self.map = m2
-                self._st = self._rebase_st(self._st, dR, dt)
-                self._enqueue_polish("global",
-                                     self.cfg.tracking.global_ba_slices)
-                self.loops_closed += 1
-                self.session_loops_applied += 1
-                self._last_loop_nkf = self._n_kf_host
-                # The candidate the multi-candidate verification chose
-                # (may differ from the retrieval-top slot recorded below).
-                applied = int(np.asarray(cand_prev))
-            else:
-                verified = "rejected"   # distinguishable in the log
+        if sane:
+            self._enqueue_polish("global",
+                                 self.cfg.tracking.global_ba_slices)
+            self.loops_closed += 1
+            self.session_loops_applied += 1
+            self._last_loop_nkf = self._n_kf_host
+            # The candidate the multi-candidate verification chose
+            # (may differ from the retrieval-top slot recorded below).
+            applied = int(np.asarray(p["cand_prev"]))
+            verified = True
+        else:
+            # Roll back: restore the pre-apply snapshot (one frame of
+            # map evolution on the warped lineage is discarded) and
+            # inverse-rebase the speculative chain.
+            self.map = p["m_pre"]
+            dR, dt = p["dR"], p["dt"]
+            dR_inv = dR.T
+            self._st = self._rebase_st(self._st, dR_inv,
+                                       -(dR_inv @ dt))
+            self._pending_loop = None
+            self._loop_consistency = None
+            verified = "rejected"   # distinguishable in the log
         self.loop_attempts.append(
-            (int(kf_slot), int(cand_fut.result()), score, verified,
-             applied))
+            (p["kf_slot"], p["cand_top"], p["score"], verified, applied))
 
     def _maybe_weld(self) -> None:
         """Evaluate a pending atlas-weld probe: if the new keyframe
@@ -1655,6 +1724,9 @@ class System:
                   file=sys.stderr, flush=True)
         if not bool(ok_fut.result()) or best_i >= len(self.atlas):
             return
+        # The import changes slot structure: judge any optimistic loop
+        # commit first (its rollback snapshot is pre-weld).
+        self._resolve_loop_sanity()
         frozen = self.atlas[best_i]
         self.map, n_kf_imp, n_lm_imp = self._atlas_weld(
             self.map, frozen, res.sim3.s, res.sim3.R, res.sim3.t)
@@ -1693,6 +1765,10 @@ class System:
             return
         if n_kf_lagged < MK - 2:
             return
+        # A pending loop-sanity verdict holds a PRE-COMPACT map
+        # snapshot; judge it now or a later rollback would resurrect
+        # stale slot ids.
+        self._resolve_loop_sanity()
         self._compact_cooldown = cfg.tracking.kf_min_interval + 1
         self.map, n_valid = self._compact_step(self.map)
         self._slots_used = int(np.asarray(n_valid))
@@ -1726,10 +1802,27 @@ class System:
         # LocalMapping tail: zero-obs pruning + redundant-KF culling.
         self.map = self._maintain_step(self.map)
 
+        # Young-map re-solve (one-shot per map): once a few keyframes
+        # exist, a short ONE-anchor BA burst lets the accumulated
+        # multi-view observations correct the committed two-view init's
+        # relative pose — the >=2-anchor policy everywhere else freezes
+        # a slightly-bent low-parallax init into the session gauge
+        # (round-5 tail forensics; see _young_slice).
+        tr = self.cfg.tracking
+        # (deferred while a collapse probe is pending: the one-anchor
+        # burst rescales the map, which would break the probe's
+        # velocity-gauge comparison — it re-arms at the next keyframe)
+        if tr.young_ba_at_kf > 0 and not self._young_polish_done \
+                and n_kf >= tr.young_ba_at_kf \
+                and not self._collapse_active \
+                and not self._polish_queue \
+                and self._tail_ready.is_set():
+            self._young_polish_done = True
+            self._enqueue_polish("young", tr.young_ba_slices)
+
         # Periodic wide-window polish (sliced): grinds down accumulated
         # drift and residual init error the marching local window
         # cannot reach.
-        tr = self.cfg.tracking
         if tr.wide_ba_every_kf > 0 \
                 and self._n_kf_host % tr.wide_ba_every_kf == 0 \
                 and not self._polish_queue \
