@@ -481,7 +481,7 @@ class System:
             return dR, dt
 
         def _polish_slice(m: MapState, lam, prune, wcfg, window_ids=None,
-                          n_fixed=2):
+                          n_fixed=2, renorm_baseline=False):
             """One wide/global BA iteration + the newest-KF delta and a
             device-side LARGE-DELTA flag. Small polish deltas are
             gauge-settling noise the next frame's pose GN absorbs;
@@ -497,6 +497,31 @@ class System:
             m2 = local_bundle_adjustment(
                 m, self._K, wcfg, iters=1, damping=lam, prune=prune,
                 window_ids=window_ids, n_fixed=n_fixed)
+            if renorm_baseline:
+                # One-anchor solves leave the monocular scale direction
+                # null: on an already-straight map the Huber reweighting
+                # lets the cost drift along it (measured: healthy seed
+                # 42 bent 0.048 -> 0.28 by the unpinned young burst).
+                # Restore the KF0->KF1 baseline length about KF0's
+                # center after every slice — shape corrections survive,
+                # gauge drift cannot.
+                def center(mm, i):
+                    return -(mm.kf_R[i].T @ mm.kf_t[i][:, None])[:, 0]
+                C0 = center(m2, 0)
+                b_pre = jnp.linalg.norm(center(m, 1) - center(m, 0))
+                b_post = jnp.maximum(
+                    jnp.linalg.norm(center(m2, 1) - C0), 1e-9)
+                s = b_pre / b_post
+                C_all = -jnp.einsum('kij,kj->ki', m2.kf_R.transpose(0, 2, 1),
+                                    m2.kf_t)
+                C_new = C0 + s * (C_all - C0)
+                kf_t_new = -jnp.einsum('kij,kj->ki', m2.kf_R, C_new)
+                m2 = m2._replace(
+                    kf_t=jnp.where(m2.kf_valid[:, None], kf_t_new, m2.kf_t),
+                    lm_pos=jnp.where(m2.lm_valid[:, None],
+                                     C0 + s * (m2.lm_pos - C0), m2.lm_pos),
+                    lm_dist_min=m2.lm_dist_min * s,
+                    lm_dist_max=m2.lm_dist_max * s)
             dR, dt = _newest_kf_delta(m, m2)
             cur = jnp.clip(m.n_kf - 1, 0, MK - 1)
             prev = jnp.clip(m.n_kf - 2, 0, MK - 1)
@@ -541,7 +566,8 @@ class System:
         # burst, and the mono gauge re-pins at the next 2-anchor BA).
         self._young_slice = jax.jit(
             lambda m, lam, prune: _polish_slice(m, lam, prune, wide_cfg,
-                                                n_fixed=1))
+                                                n_fixed=1,
+                                                renorm_baseline=True))
 
         def _rebase_st(st: LoopState, dR, dt):
             return st._replace(
@@ -853,6 +879,10 @@ class System:
         self._polish_queue: List[tuple] = []
         # One-shot young-map one-anchor re-solve (see _young_slice).
         self._young_polish_done = False
+        # Set by _collapse_retry AFTER its internal reset: a failed
+        # collapse probe marks the session init-hostile, arming the
+        # young re-solve for the commit that eventually sticks.
+        self._had_collapse_reset = False
         self._compact_cooldown = 0
         self._committed_ref = None  # last committed init's ref Frame
         # Multi-reference init state (see _try_initialize): rolling
@@ -929,6 +959,14 @@ class System:
         t0 = self._t0
         self.reset()
         self._t0 = t0
+        # Sticky init-hostility marker (survives THIS reset, cleared by
+        # the next external one): this world has already drawn at least
+        # one rotten reconstruction, so the eventual certified commit is
+        # a member of the bent-risk class that earns the young-map
+        # one-anchor re-solve (see _young_slice; clean-first-commit
+        # worlds skip it — the solve measurably bends healthy maps,
+        # seed-42 A/B 0.048 -> 0.27).
+        self._had_collapse_reset = True
         if len(imgs) < 2:
             return
         for tsd, g in imgs[:-1]:
@@ -1813,6 +1851,7 @@ class System:
         # burst rescales the map, which would break the probe's
         # velocity-gauge comparison — it re-arms at the next keyframe)
         if tr.young_ba_at_kf > 0 and not self._young_polish_done \
+                and self._had_collapse_reset \
                 and n_kf >= tr.young_ba_at_kf \
                 and not self._collapse_active \
                 and not self._polish_queue \
